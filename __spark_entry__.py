@@ -3,36 +3,54 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementations live in ``bids_spark.contract``; this file is only
+the registry.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bids_spark import contract as C  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for the default-OR query "merge join"
+    over /root/testdata/sf0.001/documents.parquet."""
+    return C._search(spark, "/root/testdata/sf0.001", "merge join", 10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tokenize_tf": C.q_tokenize_tf,
+        "doclens": C.q_doclens,
+        "corpus_stats": C.q_corpus_stats,
+        "term_stats": C.q_term_stats,
+        "bm25_single": C.q_bm25_single,
+        "bm25_or": C.q_bm25_or,
+        "bm25_and": C.q_bm25_and,
+        "bm25_not": C.q_bm25_not,
+        "bm25_phrase": C.q_bm25_phrase,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tokenize_tf": C.SQL_TOKENIZE_TF,
+        "doclens": C.SQL_DOCLENS,
+        "corpus_stats": C.SQL_CORPUS_STATS,
+        "term_stats": C.SQL_TERM_STATS,
+        "bm25_single": C.bm25_topk_sql(should=["data"]),
+        "bm25_or": C.bm25_topk_sql(should=["merge", "join"]),
+        "bm25_and": C.bm25_topk_sql(must=["merge", "join"]),
+        "bm25_not": C.bm25_topk_sql(should=["merge"], must_not=["join"]),
+        # bm25_phrase: positions-based — rows-only check for now
+    }

@@ -1,0 +1,107 @@
+"""Brute-force exact-BM25 oracle — the committed reference semantics.
+
+tantivy is not installable in this sandbox, so this deliberately
+simple (<150 LoC, no vectorization) implementation IS the semantic
+oracle for the engine (SURVEY.md §4 scoring-oracle note): tantivy's
+`default` tokenizer, Okapi BM25 k1=1.2 b=0.75 with exact doc lengths,
+Lucene BooleanQuery match/score rules, tie-break (score desc, doc_id
+asc).  Golden tests assert the Spark engine is rank-identical and
+score-equal (rel 1e-6) to this.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from bids_spark import B, K1
+from bids_spark.functions.text import tokenize_query
+from bids_spark.plans.parser import Bool, Phrase, Term, parse_query
+
+
+def tokenize(text: str) -> list[str]:
+    return tokenize_query(text)
+
+
+class OracleIndex:
+    def __init__(self, docs: dict[int, str]):
+        """docs: doc_id -> text."""
+        self.tokens = {d: tokenize(t) for d, t in docs.items()}
+        self.tf = {d: Counter(toks) for d, toks in self.tokens.items()}
+        self.positions = {}
+        for d, toks in self.tokens.items():
+            pos: dict[str, list[int]] = {}
+            for i, t in enumerate(toks):
+                pos.setdefault(t, []).append(i)
+            self.positions[d] = pos
+        self.dl = {d: len(toks) for d, toks in self.tokens.items()}
+        self.n_docs = len(docs)
+        self.avgdl = (
+            sum(self.dl.values()) / self.n_docs if self.n_docs else 0.0
+        )
+        self.df = Counter()
+        for c in self.tf.values():
+            for term in c:
+                self.df[term] += 1
+
+    def idf(self, term_df: int) -> float:
+        return math.log(1.0 + (self.n_docs - term_df + 0.5) / (term_df + 0.5))
+
+    def term_score(self, tf: int, dl: int, idf: float) -> float:
+        return idf * tf * (K1 + 1.0) / (tf + K1 * (1 - B + B * dl / self.avgdl))
+
+    def _eval_term(self, t: str) -> dict[int, float]:
+        idf = self.idf(self.df[t])
+        return {
+            d: self.term_score(c[t], self.dl[d], idf)
+            for d, c in self.tf.items()
+            if t in c
+        }
+
+    def _eval_phrase(self, terms: tuple[str, ...]) -> dict[int, float]:
+        idf = sum(self.idf(self.df[t]) for t in terms if t in self.df)
+        out = {}
+        for d, pos in self.positions.items():
+            if any(t not in pos for t in terms):
+                continue
+            ends = pos[terms[0]]
+            for t in terms[1:]:
+                nxt = set(pos[t])
+                ends = [p + 1 for p in ends if p + 1 in nxt]
+            if ends:
+                out[d] = self.term_score(len(ends), self.dl[d], idf)
+        return out
+
+    def _eval(self, node) -> dict[int, float]:
+        if isinstance(node, Term):
+            return self._eval_term(node.term)
+        if isinstance(node, Phrase):
+            return self._eval_phrase(node.terms)
+        assert isinstance(node, Bool)
+        if not node.must and not node.should:
+            return {}
+        if node.must:
+            parts = [self._eval(m) for m in node.must]
+            docs = set(parts[0])
+            for p in parts[1:]:
+                docs &= set(p)
+            scores = {d: sum(p[d] for p in parts) for d in docs}
+            for s in node.should:
+                for d, sc in self._eval(s).items():
+                    if d in scores:
+                        scores[d] += sc
+        else:
+            scores: dict[int, float] = {}
+            for s in node.should:
+                for d, sc in self._eval(s).items():
+                    scores[d] = scores.get(d, 0.0) + sc
+        for n in node.must_not:
+            for d in self._eval(n):
+                scores.pop(d, None)
+        return scores
+
+    def search(self, query: str, limit: int = 10) -> list[tuple[int, int, float]]:
+        """[(rank, doc_id, score)] — score desc, doc_id asc."""
+        scores = self._eval(parse_query(query))
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+        return [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]

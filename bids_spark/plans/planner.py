@@ -1,0 +1,203 @@
+"""AST → DataFrame plan composer + SearchEngine facade.
+
+Evaluation semantics = Lucene/tantivy BooleanQuery (what
+`searcher.search` executes for BIDS at /root/reference/bids/index.py:155):
+
+    - a doc matches iff: every `must` child matches, no `must_not`
+      child matches, and (if there is no `must`) at least one `should`
+      child matches;
+    - score = Σ BM25 of every matching must/should child
+      (should clauses add score even when musts drive matching);
+    - top-k = score desc, doc_id asc (deterministic tie-break).
+
+Each AST node becomes a DataFrame of (doc_id, score):
+
+    Term    → filter on the scored-postings table (predicate pushdown:
+              at scale the postings table is laid out by term bucket,
+              so this is a pruned scan, not a full pass — D2)
+    Phrase  → positional adjacency via array intersect of shifted
+              position lists (no UDF)                          — D6
+    Bool    → joins/unions: must = inner joins (D4), should = union +
+              groupBy-sum (D3), must_not = left_anti (D5)
+
+Top-k is `ORDER BY score DESC, doc_id ASC LIMIT k` which Spark plans
+as TakeOrderedAndProject — per-partition heaps, no global sort (D8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bids_spark.functions.bm25 import bm25_term_score, idf_expr
+from bids_spark.operators.index_build import (
+    corpus_stats,
+    doclens,
+    postings_with_positions,
+    scored_postings,
+    term_stats,
+)
+from bids_spark.plans.parser import Bool, Phrase, Term, parse_query
+
+
+class SearchEngine:
+    """Naive (uncompressed, exact) search path over index DataFrames.
+
+    `from_documents` builds the index lazily from a corpus DataFrame;
+    index DataFrames are cached because interactive search re-reads
+    them per query (the analogue of tantivy keeping segments open,
+    /root/reference/bids/index.py:146 reload-per-search).
+    """
+
+    def __init__(
+        self,
+        postings_pos: DataFrame,
+        doclens_df: DataFrame,
+        stats_df: DataFrame,
+        cache: bool = True,
+    ):
+        self.postings_pos = postings_pos
+        self.doclens = doclens_df
+        self.stats = stats_df
+        row = stats_df.select("n_docs", "avgdl").first()
+        self.n_docs = int(row["n_docs"])
+        self.avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
+        self.scored = scored_postings(
+            postings_pos.select("term", "doc_id", "tf"), doclens_df, stats_df
+        )
+        if cache:
+            self.scored = self.scored.cache()
+            self.postings_pos = self.postings_pos.cache()
+
+    @classmethod
+    def from_documents(
+        cls,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        cache: bool = True,
+    ) -> "SearchEngine":
+        return cls(
+            postings_with_positions(docs, id_col, text_col),
+            doclens(docs, id_col, text_col),
+            corpus_stats(docs, id_col, text_col),
+            cache=cache,
+        )
+
+    # ---- node evaluation -------------------------------------------------
+
+    def _eval_term(self, t: Term) -> DataFrame:
+        return self.scored.filter(F.col("term") == t.term).select("doc_id", "score")
+
+    def _eval_phrase(self, p: Phrase) -> DataFrame:
+        """Docs where p.terms occur at consecutive positions.
+
+        Chain of array intersections: carry the set of positions where
+        the prefix ends; phrase tf = |final set|.  Scored like a
+        pseudo-term: idf = Σ term idfs (Lucene phrase scoring), tf =
+        phrase frequency, same length normalization.
+        """
+        first, rest = p.terms[0], p.terms[1:]
+        cur = (
+            self.postings_pos.filter(F.col("term") == first)
+            .select("doc_id", F.col("positions").alias("ends"))
+        )
+        for i, t in enumerate(rest):
+            nxt = self.postings_pos.filter(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias(f"p{i}")
+            )
+            cur = (
+                cur.join(nxt, "doc_id")
+                .select(
+                    "doc_id",
+                    F.array_intersect(
+                        F.transform("ends", lambda x: x + 1), F.col(f"p{i}")
+                    ).alias("ends"),
+                )
+                .filter(F.size("ends") > 0)
+            )
+        phrase_tf = cur.select("doc_id", F.size("ends").alias("tf"))
+        # idf of the phrase = sum of member-term idfs
+        dfs = (
+            self.postings_pos.filter(F.col("term").isin(list(p.terms)))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .select(idf_expr(F.col("df"), F.lit(self.n_docs)).alias("idf"))
+            .agg(F.sum("idf").alias("idf"))
+        )
+        return (
+            phrase_tf.join(self.doclens, "doc_id")
+            .crossJoin(F.broadcast(dfs))
+            .select(
+                "doc_id",
+                bm25_term_score(
+                    F.col("tf"), F.col("dl"), F.lit(self.avgdl), F.col("idf")
+                ).alias("score"),
+            )
+        )
+
+    def _eval(self, node) -> DataFrame:
+        if isinstance(node, Term):
+            return self._eval_term(node)
+        if isinstance(node, Phrase):
+            return self._eval_phrase(node)
+        if isinstance(node, Bool):
+            return self._eval_bool(node)
+        raise TypeError(f"unknown AST node {node!r}")
+
+    def _union_sum(self, dfs: list[DataFrame]) -> DataFrame:
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    def _eval_bool(self, b: Bool) -> DataFrame:
+        if not b.must and not b.should:
+            # pure-negative query matches nothing (Lucene semantics)
+            return self.scored.select("doc_id", "score").limit(0)
+        if b.must:
+            base = None
+            for i, m in enumerate(b.must):
+                ev = self._eval(m).withColumnRenamed("score", f"s{i}")
+                base = ev if base is None else base.join(ev, "doc_id")
+            score = sum(F.col(f"s{i}") for i in range(len(b.must)))
+            base = base.select("doc_id", score.alias("score"))
+            if b.should:
+                opt = self._union_sum([self._eval(s) for s in b.should])
+                base = (
+                    base.join(
+                        opt.withColumnRenamed("score", "opt_score"), "doc_id", "left"
+                    )
+                    .select(
+                        "doc_id",
+                        (
+                            F.col("score") + F.coalesce(F.col("opt_score"), F.lit(0.0))
+                        ).alias("score"),
+                    )
+                )
+        else:
+            base = self._union_sum([self._eval(s) for s in b.should])
+        for n in b.must_not:
+            base = base.join(
+                self._eval(n).select("doc_id"), "doc_id", "left_anti"
+            )
+        return base
+
+    # ---- public API --------------------------------------------------------
+
+    def plan(self, query: str) -> DataFrame:
+        """(doc_id, score) for every matching doc — unranked."""
+        return self._eval(parse_query(query))
+
+    def search(self, query: str, limit: int = 10) -> DataFrame:
+        """(rank, doc_id, score) top-k — TakeOrderedAndProject."""
+        matches = self.plan(query).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        ).limit(limit)
+        # rank assignment happens on ≤k rows — cheap single partition
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return matches.select(
+            F.row_number().over(w).alias("rank"), "doc_id", "score"
+        )

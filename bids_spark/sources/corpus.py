@@ -1,0 +1,178 @@
+"""Corpus sources.
+
+Two input shapes:
+
+1. `documents` — the driver's synthetic stand-in
+   (/root/testdata/sf*/documents.parquet:
+   doc_id bigint, text string, lang string, source string, n_chars bigint).
+
+2. `webpages` — the BASELINE.json `input_hint` shape
+   (url string, warc_ts timestamp, html binary, text string, lang string),
+   synthesized deterministically here for invariant/ingest tests
+   (FIXTURES.md §2).  Identity is `doc_id = xxhash64(url)` — a
+   deterministic replacement for the reference's salted
+   `abs(hash(file_path))` (/root/reference/bids/index.py:44-45, a
+   documented non-determinism we must not reproduce).
+
+`extract_text` is the analogue of the reference's checksummed,
+reproducible extraction stage (/root/reference/bids/util.py:21-36 +
+elf parse at elf_utils.py:23-36): html binary → text, pure and
+versioned, enforcing the **byte-identical extracted text per url**
+invariant.  Real HTML parsing libs are out of scope in this sandbox;
+the extractor is a deterministic tag-stripper implemented as an
+Arrow-batched pandas UDF (the Spark-side plumbing — schema, batching,
+purity — is the real, tested part).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+EXTRACTOR_VERSION = "bids-spark-extract/1"
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# synthetic webpages fixture (FIXTURES.md §2)
+# --------------------------------------------------------------------------
+
+_VOCAB_HEAD = ["the", "a", "of", "and", "data", "web", "page"]
+_VOCAB_TAIL = [f"term{i:04d}" for i in range(1000)]
+
+
+def _zipf_words(rng: random.Random, n: int) -> list[str]:
+    words = []
+    for _ in range(n):
+        if rng.random() < 0.35:
+            words.append(rng.choice(_VOCAB_HEAD))
+        else:
+            # Zipf-ish over the tail: low ranks much more likely
+            r = min(int(rng.paretovariate(1.2)) - 1, len(_VOCAB_TAIL) - 1)
+            words.append(_VOCAB_TAIL[r])
+    return words
+
+
+def synth_webpages(
+    spark: SparkSession, n_rows: int = 500, seed: int = 42
+) -> DataFrame:
+    """Deterministic webpages fixture: (url, warc_ts, html, text, lang).
+
+    Includes the edge cases the tokenizer/dedup contract needs:
+    duplicate urls, empty text, >40-char tokens, mixed case and
+    punctuation-separated tokens.
+    """
+    rng = random.Random(seed)
+    langs = ["en", "en", "en", "de", "fr", "es", "zh"]
+    rows = []
+    for i in range(n_rows):
+        url = f"https://example.org/page/{i:06d}"
+        body = " ".join(_zipf_words(rng, rng.randint(5, 120)))
+        if i % 97 == 0:
+            body += " " + "x" * 41  # dropped by the 40-char rule
+        if i % 53 == 0:
+            body = body.upper() + ", punct.sep;tokens!here"
+        if i % 211 == 0:
+            body = ""  # empty doc
+        html = f"<html><head><title>p{i}</title></head><body>{body}</body></html>"
+        rows.append(
+            (
+                url,
+                # deterministic timestamp: seconds offset from epoch day
+                pd.Timestamp("2025-01-01T00:00:00Z") + pd.Timedelta(seconds=i),
+                html.encode("utf-8"),
+                rng.choice(langs),
+            )
+        )
+    # duplicate-url rows (must dedup at build): re-crawl of first 5 pages
+    for i in range(5):
+        url = f"https://example.org/page/{i:06d}"
+        html = rows[i][2]
+        rows.append(
+            (url, rows[i][1] + pd.Timedelta(days=1), html, rows[i][3])
+        )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), False),
+            T.StructField("lang", T.StringType(), False),
+        ]
+    )
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "lang"])
+    df = spark.createDataFrame(pdf, schema=schema)
+    return df.withColumn("text", extract_text_udf(F.col("html")))
+
+
+def extract_text(html_bytes: bytes) -> str:
+    """Pure html→text extraction (deterministic tag stripper).
+
+    Byte-identical output per input is the per-row invariant; tests
+    pin sha256(text) per url against a committed manifest.
+    """
+    s = html_bytes.decode("utf-8", errors="replace")
+    out: list[str] = []
+    depth_skip = 0
+    i = 0
+    in_tag = False
+    tag_buf: list[str] = []
+    for ch in s:
+        if in_tag:
+            if ch == ">":
+                in_tag = False
+                tag = "".join(tag_buf).strip().lower()
+                tag_buf.clear()
+                name = tag.lstrip("/").split()[0] if tag.lstrip("/") else ""
+                if name in ("script", "style"):
+                    depth_skip += -1 if tag.startswith("/") else 1
+                    depth_skip = max(depth_skip, 0)
+            else:
+                tag_buf.append(ch)
+        elif ch == "<":
+            in_tag = True
+        elif depth_skip == 0:
+            out.append(ch)
+        i += 1
+    # collapse whitespace deterministically
+    return " ".join("".join(out).split())
+
+
+@pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text)
+
+
+def text_sha256(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def with_doc_identity(webpages: DataFrame) -> DataFrame:
+    """doc_id = xxhash64(url); dedup by url keeping latest warc_ts.
+
+    Build-time url-dedup replaces the reference's query-time
+    content-dedup (/root/reference/bids/index.py:164-169): under the
+    byte-identical-text-per-url invariant the two are equivalent, and
+    build-time dedup is rank-preserving (SURVEY.md §4.3 item 2).
+    """
+    w = webpages.withColumn("doc_id", F.xxhash64(F.col("url")))
+    # keep the latest crawl per url — max_by avoids a window shuffle+sort
+    return (
+        w.groupBy("url", "doc_id")
+        .agg(
+            F.max_by(F.struct("warc_ts", "html", "text", "lang"), "warc_ts").alias("r")
+        )
+        .select("doc_id", "url", "r.warc_ts", "r.html", "r.text", "r.lang")
+    )

@@ -1,0 +1,64 @@
+from bids_spark.plans.parser import Bool, Phrase, Term, parse_query
+
+
+def test_single_term():
+    b = parse_query("strcpy")
+    assert b.should == [Term("strcpy")] and not b.must and not b.must_not
+
+
+def test_default_or():
+    b = parse_query("malloc free")
+    assert b.should == [Term("malloc"), Term("free")]
+
+
+def test_and():
+    b = parse_query("libc AND libpng")
+    inner = b.should[0] if b.should else b
+    assert isinstance(inner, Bool)
+    assert inner.must == [Term("libc"), Term("libpng")]
+
+
+def test_must_not():
+    b = parse_query("libc -strcpy")
+    assert b.should == [Term("libc")]
+    assert b.must_not == [Term("strcpy")]
+
+
+def test_plus_must():
+    b = parse_query("+libc strcpy")
+    assert b.must == [Term("libc")]
+    assert b.should == [Term("strcpy")]
+
+
+def test_phrase():
+    b = parse_query('"merge join now"')
+    assert b.should == [Phrase(("merge", "join", "now"))]
+
+
+def test_phrase_single_token_degrades():
+    b = parse_query('"strcpy"')
+    assert b.should == [Term("strcpy")]
+
+
+def test_case_normalized():
+    b = parse_query("StrCpy")
+    assert b.should == [Term("strcpy")]
+
+
+def test_parens_nesting():
+    b = parse_query("data AND (merge OR join)")
+    inner = b.should[0] if b.should else b
+    assert isinstance(inner, Bool)
+    assert Term("data") in inner.must
+    nested = [m for m in inner.must if isinstance(m, Bool)]
+    assert nested and nested[0].should == [Term("merge"), Term("join")]
+
+
+def test_empty_query():
+    b = parse_query("")
+    assert not b.must and not b.should and not b.must_not
+
+
+def test_punctuation_only_query():
+    b = parse_query("!!! ???")
+    assert not b.must and not b.should and not b.must_not
