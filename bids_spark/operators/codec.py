@@ -1,0 +1,100 @@
+"""Posting-block codec: docID-delta + frame-of-reference byte packing.
+
+Re-provides what tantivy's `.idx` segment format gives BIDS (docID
+deltas in bitpacked blocks of 128 + per-block skip data — public
+tantivy 0.25 format; files visible at
+/root/reference/playground/bids_index/) as a numpy-vectorized codec
+over parquet `binary` cells.
+
+Format per block (little-endian):
+
+    [u16 n] [u8 width_delta] [u8 width_tf]
+    [ (n-1) * width_delta bytes : doc-id gaps, gap-1 encoded ]
+    [ n     * width_tf    bytes : term frequencies ]
+    [ n * 8 bytes               : exact float64 per-posting BM25 score ]
+
+Carrying the exact per-posting impact score (computed once at build
+with global df/avgdl) lets query-time scoring skip the doclens join
+entirely — decode + groupBy(doc_id).sum(score) — while staying
+bit-identical to the naive path: build (numpy) and naive (JVM)
+evaluate the same IEEE-754 float64 expression tree.
+
+The first doc id of the block lives in a sibling bigint column
+(`first_doc`), so gaps start from index 1; gaps are ≥1 (doc ids are
+unique per term) and stored minus 1.  Widths are the minimal uniform
+byte width in {1,2,4,8} — frame-of-reference without patching (the
+byte-aligned member of the PFor family; chosen over per-value varint
+because both encode AND decode stay fully numpy-vectorized — no
+per-posting Python, which is the actual constraint at 10^12 docs).
+
+Block metadata columns (`first_doc`, `max_doc`, `block_max_score`,
+`n`) give query-time block skipping via ordinary parquet predicate
+pushdown + block-max pruning (operators/wand.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+_WIDTHS = (1, 2, 4, 8)
+_DTYPES = {1: "<u1", 2: "<u2", 4: "<u4", 8: "<u8"}
+
+
+def _width_for(max_val: int) -> int:
+    if max_val < (1 << 8):
+        return 1
+    if max_val < (1 << 16):
+        return 2
+    if max_val < (1 << 32):
+        return 4
+    return 8
+
+
+def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, scores: np.ndarray) -> bytes:
+    """doc_ids: sorted unique int64 (ascending), tfs: int64 ≥1,
+    scores: float64 exact per-posting BM25.
+
+    All gap math is done in uint64 (two's-complement reinterpretation),
+    so negative xxhash64 doc ids and full-range gaps are safe.
+    """
+    n = len(doc_ids)
+    assert 0 < n <= 0xFFFF
+    u = doc_ids.astype(np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        gaps = (np.diff(u) - np.uint64(1)) if n > 1 else np.empty(0, np.uint64)
+    wd = _width_for(int(gaps.max()) if n > 1 else 0)
+    wt = _width_for(int(tfs.max()) - 1)
+    head = np.array([n], dtype="<u2").tobytes() + bytes([wd, wt])
+    return (
+        head
+        + gaps.astype(_DTYPES[wd]).tobytes()
+        + (tfs.astype(np.uint64) - np.uint64(1)).astype(_DTYPES[wt]).tobytes()
+        + scores.astype("<f8").tobytes()
+    )
+
+
+def decode_block(
+    payload: bytes, first_doc: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """→ (doc_ids int64 ascending, tfs int64, scores float64)."""
+    n = int(np.frombuffer(payload[:2], dtype="<u2")[0])
+    wd, wt = payload[2], payload[3]
+    off = 4
+    gaps = np.frombuffer(payload[off : off + (n - 1) * wd], dtype=_DTYPES[wd]).astype(
+        np.uint64
+    )
+    off += (n - 1) * wd
+    tfs = (
+        np.frombuffer(payload[off : off + n * wt], dtype=_DTYPES[wt]).astype(np.int64)
+        + 1
+    )
+    off += n * wt
+    scores = np.frombuffer(payload[off : off + n * 8], dtype="<f8")
+    docs_u = np.empty(n, dtype=np.uint64)
+    docs_u[0] = np.int64(first_doc).astype(np.uint64)
+    if n > 1:
+        with np.errstate(over="ignore"):
+            docs_u[1:] = docs_u[0] + np.cumsum(gaps + np.uint64(1))
+    return docs_u.view(np.int64).copy(), tfs, scores.copy()

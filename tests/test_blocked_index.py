@@ -1,0 +1,120 @@
+"""Blocked (SPIMI, compressed) index: build correctness, resumability,
+and rank-identity of the block-max pruned query path vs the naive
+SearchEngine — the two-physical-plans/one-semantics contract."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bids_spark.operators.blocked_index import BlockedIndex, spimi_partial_postings
+from bids_spark.operators.index_build import postings
+from bids_spark.operators.wand import BlockedSearchEngine, decode_blocks
+from bids_spark.plans.planner import SearchEngine
+
+QUERIES = [
+    "data",
+    "merge join",
+    "merge AND join",
+    "merge -join",
+    "the",                 # head term
+    "data merge join sort window",  # many-term OR
+    "zzzmissing",          # no-hit (single token)
+]
+
+
+def test_phrase_raises_on_blocked(spark, index):
+    eng = BlockedSearchEngine(spark, index)
+    with pytest.raises(NotImplementedError):
+        eng.search('"merge join"', 10)
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("blocked_idx"))
+    bi = BlockedIndex(path)
+    bi.build(docs, fingerprint="sf0.001-v1", n_partitions=8)
+    return bi
+
+
+@pytest.fixture(scope="module")
+def naive(docs):
+    return SearchEngine.from_documents(docs)
+
+
+def test_spimi_equals_naive_postings(spark, docs):
+    a = spimi_partial_postings(docs).orderBy("term", "doc_id").collect()
+    b = postings(docs).orderBy("term", "doc_id").collect()
+    assert [(r["term"], r["doc_id"], r["tf"]) for r in a] == [
+        (r["term"], r["doc_id"], r["tf"]) for r in b
+    ]
+
+
+def test_blocks_roundtrip_postings(spark, docs, index):
+    dec = (
+        decode_blocks(index.blocks(spark))
+        .groupBy()
+        .agg(F.count("*").alias("n"), F.countDistinct("term").alias("nt"))
+        .first()
+    )
+    want = postings(docs).agg(
+        F.count("*").alias("n"), F.countDistinct("term").alias("nt")
+    ).first()
+    assert (dec["n"], dec["nt"]) == (want["n"], want["nt"])
+
+
+def test_block_invariants(spark, index):
+    bad = index.blocks(spark).filter(
+        (F.col("first_doc") > F.col("max_doc")) | (F.col("n") <= 0)
+    )
+    assert bad.count() == 0
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_rank_identical_to_naive(spark, index, naive, q):
+    eng = BlockedSearchEngine(spark, index)
+    got = [(r["rank"], r["doc_id"], r["score"]) for r in eng.search(q, 10).collect()]
+    want = [(r["rank"], r["doc_id"], r["score"]) for r in naive.search(q, 10).collect()]
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want], q
+    for (_, _, gs), (_, _, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9), (q, gs, ws)
+
+
+@pytest.mark.parametrize("q", ["data", "merge join", "the"])
+def test_pruned_equals_unpruned(spark, index, q):
+    eng = BlockedSearchEngine(spark, index)
+    a = [(r["rank"], r["doc_id"]) for r in eng.search(q, 10, prune=True).collect()]
+    b = [(r["rank"], r["doc_id"]) for r in eng.search(q, 10, prune=False).collect()]
+    assert a == b
+
+
+def test_resume_skips_done_stages(spark, docs, tmp_path):
+    path = str(tmp_path / "idx")
+    bi = BlockedIndex(path)
+    bi.build(docs, fingerprint="fp1", n_partitions=4)
+    man1 = bi._manifest()
+    # simulate a crash after 'postings': wipe later stages from manifest
+    man1["stages"].pop("blocks")
+    with open(bi.manifest_path, "w") as f:
+        json.dump(man1, f)
+    t_postings_before = os.path.getmtime(os.path.join(path, "postings", "_SUCCESS"))
+    man2 = bi.build(docs, fingerprint="fp1", n_partitions=4)
+    # postings not rebuilt, blocks rebuilt
+    assert os.path.getmtime(os.path.join(path, "postings", "_SUCCESS")) == t_postings_before
+    assert man2["stages"]["blocks"]["status"] == "done"
+    # changed fingerprint → full rebuild
+    man3 = bi.build(docs, fingerprint="fp2", n_partitions=4)
+    assert os.path.getmtime(os.path.join(path, "postings", "_SUCCESS")) > t_postings_before
+    assert man3["stages"]["postings"]["fingerprint"] == "fp2"
+
+
+def test_manifest_metrics(index):
+    man = index._manifest()
+    b = man["stages"]["blocks"]
+    assert b["postings"] > 0 and b["compressed_bytes"] > 0
+    assert b["postings_per_sec"] > 0
+    assert 0 < b["bytes_per_posting"] < 20

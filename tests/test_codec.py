@@ -1,0 +1,77 @@
+"""Property tests for the posting-block codec: decode(encode(x)) == x
+across widths, negative (xxhash64-style) doc ids, and extreme gaps."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bids_spark.operators.codec import decode_block, encode_block
+
+
+def roundtrip(docs, tfs, scores):
+    docs = np.asarray(docs, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    scores = np.asarray(scores, dtype=np.float64)
+    payload = encode_block(docs, tfs, scores)
+    d, t, s = decode_block(payload, int(docs[0]))
+    assert d.tolist() == docs.tolist()
+    assert t.tolist() == tfs.tolist()
+    assert s.tolist() == scores.tolist()  # bit-exact float64
+    return payload
+
+
+def test_single_posting():
+    roundtrip([42], [1], [0.5])
+
+
+def test_small_block():
+    roundtrip([1, 2, 3, 100, 10_000], [1, 2, 3, 255, 256], [0.1] * 5)
+
+
+def test_negative_doc_ids():
+    roundtrip([-(2**62), -5, 0, 7, 2**62], [1, 1, 1, 1, 1], [1.0] * 5)
+
+
+def test_extreme_gap():
+    roundtrip([-(2**63), 2**63 - 1], [1, 70000], [0.0, 1e300])
+
+
+def test_width_boundaries():
+    for gap in (254, 255, 256, 65534, 65535, 65536, 2**32 - 2, 2**32 - 1, 2**32):
+        roundtrip([0, gap + 1], [1, 1], [0.0, 0.0])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1,
+        max_size=300,
+        unique=True,
+    ),
+    st.data(),
+)
+def test_roundtrip_property(doc_ids, data):
+    doc_ids = sorted(doc_ids)
+    n = len(doc_ids)
+    tfs = data.draw(
+        st.lists(st.integers(min_value=1, max_value=2**32), min_size=n, max_size=n)
+    )
+    scores = data.draw(
+        st.lists(
+            st.floats(min_value=0, max_value=1e6, allow_nan=False),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    roundtrip(doc_ids, tfs, scores)
+
+
+def test_compression_ratio_dense():
+    # dense consecutive ids + tf=1 → ~2 B/posting + 8 B score
+    docs = np.arange(10_000, 10_128, dtype=np.int64)
+    tfs = np.ones(128, dtype=np.int64)
+    payload = encode_block(docs, tfs, np.zeros(128))
+    assert len(payload) <= 4 + 127 * 1 + 128 * 1 + 128 * 8
