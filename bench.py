@@ -1,0 +1,114 @@
+"""Benchmark harness (driver contract): build + query timings at
+$SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage/per-query sec...}, "sf": <sf>,
+   "throughput": {...docs_per_sec / postings_per_sec / bytes...}}
+
+Two workloads:
+  * corpus-scale build: blocked index over documents.parquet at SF,
+    replicated REPLICATE× (deterministic doc_id offsets) so build
+    throughput is measured on ~100k docs, not 5k — set
+    SPARK_GRAFT_BENCH_REPLICATE to change.
+  * query serving: committed reference query set (FIXTURES.md §5
+    analogues) over the blocked index (pruned path) + the phrase query
+    on the naive positions path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from bids_spark.operators.blocked_index import BlockedIndex
+from bids_spark.operators.wand import BlockedSearchEngine
+from bids_spark.plans.planner import SearchEngine
+from bids_spark.session import get_spark
+from bids_spark.sources.replicate import replicated_corpus
+
+BLOCKED_QUERIES = {
+    "q_single": "data",
+    "q_or2": "merge join",
+    "q_and": "merge AND join",
+    "q_not": "merge -join",
+    "q_head": "the",
+    "q_or5": "data merge join sort window",
+}
+PHRASE_QUERY = ("q_phrase", '"merge join"')
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "20"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(app_name="bids-spark-bench", cores=cpus,
+                      shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_n = docs.count()
+    n_docs = base_n * replicate
+
+    work = tempfile.mkdtemp(prefix="bids_bench_")
+    try:
+        # corpus materialized OUTSIDE the timed build (real input is
+        # multi-file parquet on disk, not a lazy generator)
+        big = replicated_corpus(spark, sf_dir, replicate, work, files=cpus * 4)
+        t0 = time.time()
+        bi = BlockedIndex(os.path.join(work, "idx"))
+        man = bi.build(big, fingerprint=f"bench-{sf_dir}-{replicate}",
+                       n_partitions=cpus)
+        timings["build"] = time.time() - t0
+        bstage = man["stages"]["blocks"]
+
+        beng = BlockedSearchEngine(spark, bi, cache=True)
+        # warm: file listing + parquet footers
+        beng.search("data", 10).collect()
+        for name, q in BLOCKED_QUERIES.items():
+            t0 = time.time()
+            beng.search(q, 10).collect()
+            timings[name] = time.time() - t0
+
+        # phrase on the naive positions path at corpus scale (unreplicated)
+        neng = SearchEngine.from_documents(docs, cache=False)
+        t0 = time.time()
+        neng.search(PHRASE_QUERY[1], 10).collect()
+        timings[PHRASE_QUERY[0]] = time.time() - t0
+
+        total = sum(timings.values())
+        print(
+            json.dumps(
+                {
+                    "metric": "blocked-index build + BM25 query set wall time",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": {k: round(v, 3) for k, v in timings.items()},
+                    "sf": sf,
+                    "throughput": {
+                        "n_docs": n_docs,
+                        "docs_per_sec": round(n_docs / timings["build"], 1),
+                        "postings": bstage["postings"],
+                        "postings_per_sec": round(bstage["postings_per_sec"], 1),
+                        "compressed_bytes": bstage["compressed_bytes"],
+                        "bytes_per_posting": round(bstage["bytes_per_posting"], 3),
+                        "cpus": cpus,
+                        "replicate": replicate,
+                    },
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -88,10 +88,14 @@ class BlockedSearchEngine:
     """Query engine over a built BlockedIndex (terms/AND/OR/NOT; phrases
     need positions → handled by the naive SearchEngine, documented)."""
 
-    def __init__(self, spark: SparkSession, index: BlockedIndex):
+    def __init__(self, spark: SparkSession, index: BlockedIndex, cache: bool = False):
         self.spark = spark
         self.index = index
         self.blocks = index.blocks(spark)
+        if cache:
+            # hot-serving mode: in-memory columnar blocks; term filters
+            # still prune via InMemoryTableScan batch stats
+            self.blocks = self.blocks.cache()
 
     # -- helpers -----------------------------------------------------------
 
@@ -109,14 +113,18 @@ class BlockedSearchEngine:
 
     def _topk_or_pruned(self, terms: list[str], k: int) -> DataFrame:
         tb = self._term_blocks(terms)
-        # per-term global max block score (tiny aggregate)
-        gmax_rows = (
-            tb.groupBy("term").agg(F.max("block_max_score").alias("g")).collect()
-        )
-        if not gmax_rows:
-            return self._empty()
-        gmax = {r["term"]: r["g"] for r in gmax_rows}
-        gsum = float(sum(gmax.values()))
+        if len(set(terms)) == 1:
+            # single term: prune condition is bm(b) ≥ θ directly — the
+            # per-term gmax aggregate job is unnecessary
+            gmax, gsum = {terms[0]: 0.0}, 0.0
+        else:
+            gmax_rows = (
+                tb.groupBy("term").agg(F.max("block_max_score").alias("g")).collect()
+            )
+            if not gmax_rows:
+                return self._empty()
+            gmax = {r["term"]: r["g"] for r in gmax_rows}
+            gsum = float(sum(gmax.values()))
 
         # θ: decode only the highest-impact blocks per term (covering ≥k
         # postings each), sum per doc — each per-doc partial sum is a
@@ -161,16 +169,15 @@ class BlockedSearchEngine:
                    must_not: list[str], k: int) -> DataFrame:
         pos_terms = list(dict.fromkeys(must + should))
         scored = decode_blocks(self._term_blocks(pos_terms))
+        must_set = sorted(set(must))
         agg = scored.groupBy("doc_id").agg(
             F.sum("score").alias("score"),
-            F.collect_set("term").alias("terms"),
+            F.count_distinct(
+                F.when(F.col("term").isin(must_set), F.col("term"))
+            ).alias("_nm"),
         )
         if must:
-            cond = None
-            for t in set(must):
-                c = F.array_contains("terms", t)
-                cond = c if cond is None else (cond & c)
-            agg = agg.filter(cond)
+            agg = agg.filter(F.col("_nm") == len(must_set))
         agg = agg.select("doc_id", "score")
         if must_not:
             neg = decode_blocks(self._term_blocks(list(set(must_not)))).select(
