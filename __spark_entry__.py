@@ -39,6 +39,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and": C.q_bm25_and,
         "bm25_not": C.q_bm25_not,
         "bm25_phrase": C.q_bm25_phrase,
+        # training-pipeline operators
+        "token_count": C.q_token_count,
+        "quality_score": C.q_quality_score,
+        "lang_id": C.q_lang_id,
+        "fingerprint": C.q_fingerprint,
+        "dedup_exact": C.q_dedup_exact,
+        "ngram_jaccard": C.q_ngram_jaccard,
+        "cosine_topk": C.q_cosine_topk,
+        "media_metadata": C.q_media_metadata,
+        # approximate / platform-hash ops — rows-only driver check,
+        # property-tested against exact counterparts in tests/
+        "minhash_lsh": C.q_minhash_lsh,
+        "simhash_neardup": C.q_simhash_neardup,
+        "lsh_ann_topk": C.q_lsh_ann_topk,
+        "embedding_neardup": C.q_embedding_neardup,
+        "decode_features": C.q_decode_features,
+        "frame_sample": C.q_frame_sample,
     }
 
 
@@ -53,4 +70,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and": C.bm25_topk_sql(must=["merge", "join"]),
         "bm25_not": C.bm25_topk_sql(should=["merge"], must_not=["join"]),
         # bm25_phrase: positions-based — rows-only check for now
+        "token_count": C.SQL_TOKEN_COUNT,
+        "quality_score": C.SQL_QUALITY,
+        "lang_id": C.SQL_LANG_ID,
+        "fingerprint": C.SQL_FINGERPRINT,
+        "dedup_exact": C.SQL_DEDUP_EXACT,
+        "ngram_jaccard": C.SQL_NGRAM_JACCARD,
+        "cosine_topk": C.SQL_COSINE_TOPK,
+        "media_metadata": C.SQL_MEDIA_METADATA,
     }

@@ -196,3 +196,236 @@ SELECT ts.term, ts.df,
        round(ln(1 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5)), 6) AS idf
 FROM tstat ts CROSS JOIN stats s
 """
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline operators (dedup / similarity / text stats / multimodal)
+# ---------------------------------------------------------------------------
+
+from bids_spark.operators import dedup as dd  # noqa: E402
+from bids_spark.operators import multimodal as mm  # noqa: E402
+from bids_spark.operators import similarity as sim  # noqa: E402
+from bids_spark.operators import textstats as ts  # noqa: E402
+from bids_spark.sources.corpus import load_embeddings  # noqa: E402
+
+# list CTE shared by token-position oracles
+_LST_CTE = r"""
+base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                     x -> x <> '' AND length(x) <= 40) AS lst
+  FROM documents
+)
+"""
+
+_EN = "'the','a','of','and','to','in','is'"
+_DE = "'der','die','das','und','ist','ein'"
+_FR = "'le','la','les','et','est','un'"
+_ES = "'el','la','los','y','es','un'"
+
+
+def q_token_count(spark, sf_dir):
+    return ts.token_count(load_documents(spark, sf_dir))
+
+
+SQL_TOKEN_COUNT = f"""
+WITH {_LST_CTE},
+ws AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_ws
+  FROM documents
+)
+SELECT b.doc_id, CAST(len(b.lst) AS BIGINT) AS n_tokens,
+       CAST(ws.n_ws AS BIGINT) AS n_ws_tokens
+FROM base b JOIN ws USING (doc_id)
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    return ts.quality_score(load_documents(spark, sf_dir))
+
+
+SQL_QUALITY = rf"""
+WITH {_LST_CTE},
+feat AS (
+  SELECT d.doc_id,
+    (length(d.text) - length(regexp_replace(d.text, '[^\p{{L}}\p{{N}}]', '', 'g')))
+        / greatest(length(d.text), 1) AS punct_ratio,
+    CASE WHEN len(b.lst) > 0
+         THEN CAST(list_reduce(list_prepend(0, list_transform(b.lst, t -> length(t))),
+                               (x, y) -> x + y) AS DOUBLE) / len(b.lst)
+         ELSE 0.0 END AS mean_tok_len,
+    len(list_filter(b.lst, t -> t IN ({_EN}))) / greatest(len(b.lst), 1) AS sw_ratio,
+    len(b.lst) AS n_tok
+  FROM documents d JOIN base b USING (doc_id)
+)
+SELECT doc_id,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(mean_tok_len, 6) AS mean_tok_len,
+  round(sw_ratio, 6) AS stopword_ratio,
+  round(
+    least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.4
+    + (1.0 - least(punct_ratio * 2.0, 1.0)) * 0.3
+    + CASE WHEN mean_tok_len >= 2.5 AND mean_tok_len <= 8.0 THEN 0.2 ELSE 0.0 END
+    + least(sw_ratio * 4.0, 1.0) * 0.1, 6) AS quality
+FROM feat
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return ts.lang_id(load_documents(spark, sf_dir))
+
+
+SQL_LANG_ID = f"""
+WITH {_LST_CTE},
+r AS (
+  SELECT doc_id,
+    len(list_filter(lst, t -> t IN ({_EN}))) / greatest(len(lst), 1) AS r_en,
+    len(list_filter(lst, t -> t IN ({_DE}))) / greatest(len(lst), 1) AS r_de,
+    len(list_filter(lst, t -> t IN ({_FR}))) / greatest(len(lst), 1) AS r_fr,
+    len(list_filter(lst, t -> t IN ({_ES}))) / greatest(len(lst), 1) AS r_es
+  FROM base
+)
+SELECT doc_id,
+  CASE WHEN greatest(r_en, r_de, r_fr, r_es) > 0 THEN
+    CASE WHEN r_en = greatest(r_en, r_de, r_fr, r_es) THEN 'en'
+         WHEN r_de = greatest(r_en, r_de, r_fr, r_es) THEN 'de'
+         WHEN r_fr = greatest(r_en, r_de, r_fr, r_es) THEN 'fr'
+         ELSE 'es' END
+  ELSE 'und' END AS pred_lang,
+  round(greatest(r_en, r_de, r_fr, r_es), 6) AS lang_score
+FROM r
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return ts.fingerprint(load_documents(spark, sf_dir))
+
+
+SQL_FINGERPRINT = f"""
+WITH {_LST_CTE},
+pos AS (SELECT doc_id, unnest(generate_series(1, len(lst))) AS p, lst FROM base)
+SELECT b.doc_id,
+       coalesce(sum(p * (length(lst[p]) * 131 + ascii(lst[p]))) % 1000000007, 0) AS fp
+FROM base b LEFT JOIN pos USING (doc_id, lst)
+GROUP BY b.doc_id
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dd.exact_dedup(load_documents(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY sha256(text)
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(load_documents(spark, sf_dir), n=3, threshold=0.05)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_LST_CTE},
+spos AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(lst) - 2, 0))) AS p, lst
+  FROM base
+),
+sh AS (
+  SELECT DISTINCT doc_id, lst[p] || ' ' || lst[p+1] || ' ' || lst[p+2] AS sh
+  FROM spos
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.05
+"""
+
+_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = load_embeddings(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return sim.cosine_topk(emb, qv, 10)
+
+
+SQL_COSINE_TOPK = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         {_DOT.format(a='e.embedding', b='q.qe')} /
+         (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+          * sqrt({_DOT.format(a='q.qe', b='q.qe')})) AS cos
+  FROM embeddings e, q
+)
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id, round(cos, 6) AS cos
+FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_media_metadata(spark, sf_dir):
+    return mm.media_metadata(mm.attach_media(load_documents(spark, sf_dir)))
+
+
+SQL_MEDIA_METADATA = """
+WITH m AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS media_len,
+         lower(substring(hex(encode(text)), 1, 8)) AS magic_hex
+  FROM documents
+)
+SELECT doc_id, media_len, magic_hex,
+       CASE WHEN starts_with(magic_hex, '89504e47') THEN 'png'
+            WHEN starts_with(magic_hex, 'ffd8ff') THEN 'jpeg'
+            WHEN starts_with(magic_hex, '47494638') THEN 'gif'
+            WHEN starts_with(magic_hex, '3c68746d') THEN 'html'
+            ELSE 'unknown' END AS kind
+FROM m
+"""
+
+
+# --- rows-only entries (no SQL oracle: platform hash / approximate / binary) ---
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return dd.minhash_lsh_pairs(load_documents(spark, sf_dir), threshold=0.3)
+
+
+def q_simhash_neardup(spark, sf_dir):
+    return dd.simhash_neardup_pairs(load_documents(spark, sf_dir), max_hamming=8)
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    emb = load_embeddings(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return sim.lsh_ann_topk(emb, qv, 10)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    # synthetic embeddings are near-orthogonal (max pair cos ≈ 0.51);
+    # 0.4 is the planted-near-dup regime for this data
+    return sim.embedding_neardup_pairs(
+        load_embeddings(spark, sf_dir), threshold=0.4
+    )
+
+
+def q_decode_features(spark, sf_dir):
+    return mm.decode_features(mm.attach_media(load_documents(spark, sf_dir)))
+
+
+def q_frame_sample(spark, sf_dir):
+    return mm.sample_frames(mm.attach_media(load_documents(spark, sf_dir)))

@@ -1,0 +1,172 @@
+"""Training-pipeline operators: exact ops vs planted fixtures, and
+approximate ops (minhash-LSH, simhash, embedding-LSH) property-tested
+against their exact counterparts — precision must be 1.0 (verified
+candidates), recall measured against brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bids_spark.operators import dedup as dd
+from bids_spark.operators import multimodal as mm
+from bids_spark.operators import similarity as sim
+from bids_spark.operators import textstats as ts
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus with planted exact + near duplicates."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("quick", "rapid")),          # near dup of 1
+        (4, base.replace("dog and runs", "cat and walks")),  # near dup
+        (5, "completely different text about spark dataframes and shuffles"),
+        (6, "another unrelated document mentioning parquet and arrow batches"),
+        (7, ""),  # empty
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_planted(planted):
+    out = {r["keep_id"]: r["n_copies"] for r in dd.exact_dedup(planted).collect()}
+    assert out[1] == 2          # docs 1,2 merged, min id kept
+    assert 2 not in out
+    assert out[3] == 1 and out[5] == 1
+
+
+def test_ngram_jaccard_planted(planted):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(planted, threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0                      # exact dup
+    assert 0.3 < pairs[(1, 3)] < 1.0                 # near dup
+    assert (1, 5) not in pairs and (5, 6) not in pairs
+
+
+def test_minhash_lsh_finds_planted(planted):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.minhash_lsh_pairs(planted, threshold=0.3).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got                              # near dup found
+    # precision 1.0: every reported jaccard is the exact value
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(planted, threshold=0.0).collect()
+    }
+    for pair, j in got.items():
+        assert abs(exact[pair] - j) < 1e-9
+
+
+def test_minhash_signature_shape(planted):
+    sig = dd.minhash_signatures(planted, num_perm=64).collect()
+    assert all(len(r["sig"]) == 64 for r in sig)
+    by_id = {r["doc_id"]: list(r["sig"]) for r in sig}
+    assert by_id[1] == by_id[2]                       # identical docs
+    same = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    assert same > 20                                  # near dup: many minima shared
+
+
+def test_simhash_planted(planted):
+    by_id = {r["doc_id"]: r["simhash"] for r in dd.simhash(planted).collect()}
+    assert by_id[1] == by_id[2]
+    ham13 = bin(by_id[1] ^ by_id[3]).count("1")
+    ham15 = bin(by_id[1] ^ by_id[5]).count("1")
+    assert ham13 < ham15                              # near dup closer than unrelated
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.simhash_neardup_pairs(planted, max_hamming=ham13).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_cosine_topk_self_first(emb):
+    qv = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    top = sim.cosine_topk(emb, qv, 5).collect()
+    assert top[0]["vec_id"] == 7 and abs(top[0]["cos"] - 1.0) < 1e-9
+    assert [r["rank"] for r in top] == [1, 2, 3, 4, 5]
+
+
+def test_lsh_ann_recall(emb):
+    qv = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    exact = {r["vec_id"] for r in sim.cosine_topk(emb, qv, 10).collect()}
+    approx = {r["vec_id"] for r in sim.lsh_ann_topk(emb, qv, 10).collect()}
+    assert 7 in approx                                 # self always bucketed with itself
+    assert len(exact & approx) >= 4                    # ≥40% top-10 recall on randoms
+
+
+def test_embedding_neardup_exact_subset(spark, emb):
+    got = sim.embedding_neardup_pairs(emb, threshold=0.4).collect()
+    # verify precision: recompute each pair exactly
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    for r in got:
+        a, b = vecs[r["vec_a"]], vecs[r["vec_b"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(cos - r["cos"]) < 1e-5 and cos >= 0.4
+
+
+def test_quality_and_langid(spark):
+    rows = [
+        (1, "the cat is in the house and the dog is in the garden"),
+        (2, "der hund ist ein gutes tier und die katze ist auch ein tier"),
+        (3, "le chat est un animal et la maison est grande"),
+        (4, "!!! ??? ,,, ..."),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    langs = {r["doc_id"]: r["pred_lang"] for r in ts.lang_id(docs).collect()}
+    assert langs[1] == "en" and langs[2] == "de" and langs[3] == "fr"
+    assert langs[4] == "und" and langs[5] == "und"
+    q = {r["doc_id"]: r["quality"] for r in ts.quality_score(docs).collect()}
+    assert q[1] > q[4] and q[4] < 0.35
+
+
+def test_fingerprint_order_sensitive(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    fp = {r["doc_id"]: r["fp"] for r in ts.fingerprint(docs).collect()}
+    assert fp[1] == fp[3] and fp[1] != fp[2]
+
+
+def test_decode_features_deterministic(planted):
+    media = mm.attach_media(planted)
+    f1 = {r["doc_id"]: r["features"] for r in mm.decode_features(media).collect()}
+    f2 = {r["doc_id"]: r["features"] for r in mm.decode_features(media).collect()}
+    assert f1 == f2
+    assert all(len(v) == mm.N_FEATURES for v in f1.values())
+    assert abs(sum(f1[1]) - 1.0) < 1e-9               # L1-normalized
+    assert sum(f1[7]) == 0.0                          # empty media → zero vec
+
+
+def test_decode_features_strict_raises(planted):
+    media = mm.attach_media(planted)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        mm.decode_features(media, strict=True).collect()
+
+
+def test_frame_sample_shape(planted):
+    media = mm.attach_media(planted).filter("media_len > 0")
+    n_docs = media.count()
+    frames = mm.sample_frames(media, n_frames=4)
+    assert frames.count() == 4 * n_docs
+    per = frames.groupBy("doc_id").agg(F.countDistinct("frame_no").alias("n")).collect()
+    assert all(r["n"] == 4 for r in per)
