@@ -1,0 +1,203 @@
+r"""bids-search-compatible CLI over the Spark engine.
+
+Mirrors the reference CLI surface (/root/reference/bids/search.py):
+
+    --initialise            reset the dataset            (search.py:97-98)
+    --index DIR             index BIDS JSON docs in DIR  (search.py:99-103)
+    --index-parquet FILE    index a documents parquet (engine extension)
+    --search QUERY          run a query                  (search.py:104-134)
+    --results N             top-k (default 10)           (search.py:20)
+    --export FILE.zip       archive the dataset          (index.py:199-205)
+    --import FILE.zip       restore a dataset            (index.py:207-213)
+    --verbose               debug logging
+
+Exit codes (search.py:119,137,139; README.md:475-481):
+    0 success with results, 1 error, 2 search returned nothing.
+
+Result rendering mirrors search.py:117-134: rank, `Score: {:.4f}`,
+doc identifier.  Dataset dir: $BIDS_DATASET or ~/.cache/bids_spark
+(index.py:17,23-31).
+
+Ingest semantics (index.py:69-119, Spark-native): recursive listing,
+skip non-JSON, keep only docs whose JSON has metadata.docFormat ==
+"BIDS" (the is_bids_file sniff), whole file text = indexed content,
+doc_id = xxhash64(file_path) — deterministic replacement for the
+reference's salted abs(hash(path)) (index.py:44-45).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as _glob
+import json
+import os
+import shutil
+import sys
+import zipfile
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def dataset_dir() -> str:
+    return os.environ.get(
+        "BIDS_DATASET", os.path.expanduser("~/.cache/bids_spark/dataset")
+    )
+
+
+def _docs_path() -> str:
+    return os.path.join(dataset_dir(), "docs")
+
+
+def _get_spark(verbose: bool) -> SparkSession:
+    from bids_spark.session import get_spark
+
+    cores = int(os.environ.get("BIDS_SPARK_CLI_CORES", "8"))
+    s = get_spark(app_name="bids-spark-cli", cores=cores, shuffle_partitions=cores)
+    if verbose:
+        s.sparkContext.setLogLevel("INFO")
+    return s
+
+
+def cmd_initialise() -> int:
+    d = dataset_dir()
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    print(f"Initialised dataset at {d}")
+    return 0
+
+
+def ingest_directory(spark: SparkSession, directory: str):
+    """Recursive scan → (doc_id, file_path, text) of BIDS JSON docs."""
+    pattern = os.path.join(directory, "**", "*")
+    files = [
+        f
+        for f in _glob.glob(pattern, recursive=True)
+        if os.path.isfile(f) and not os.path.islink(f) and f.endswith(".json")
+    ]
+    if not files:
+        return None
+    raw = (
+        spark.read.text(files, wholetext=True)
+        .select(
+            F.input_file_name().alias("file_path"), F.col("value").alias("text")
+        )
+    )
+    is_bids = F.get_json_object("text", "$.metadata.docFormat") == "BIDS"
+    return raw.filter(is_bids).select(
+        F.xxhash64("file_path").alias("doc_id"), "file_path", "text"
+    )
+
+
+def cmd_index(spark: SparkSession, directory: str | None, parquet: str | None) -> int:
+    if parquet:
+        docs = spark.read.parquet(parquet).select(
+            "doc_id", F.col("text"), F.lit(None).cast("string").alias("file_path")
+        )
+    else:
+        docs = ingest_directory(spark, directory)
+        if docs is None:
+            print(f"No indexable files under {directory}", file=sys.stderr)
+            return 1
+    mode = "append" if os.path.exists(_docs_path()) else "overwrite"
+    docs.write.mode(mode).parquet(_docs_path())
+    n = spark.read.parquet(_docs_path()).count()
+    print(f"Indexed: dataset now holds {n} documents")
+    return 0
+
+
+def cmd_search(spark: SparkSession, query: str, limit: int) -> int:
+    if not os.path.exists(_docs_path()):
+        print("No dataset — run --index first", file=sys.stderr)
+        return 1
+    from bids_spark.plans.planner import SearchEngine
+
+    PAGE_SIZE = 10  # reference over-fetch (index.py:21,155-157)
+    docs = spark.read.parquet(_docs_path())
+    eng = SearchEngine.from_documents(docs, cache=False)
+    # reference quirk kept verbatim: over-fetch limit+PAGE_SIZE, drop
+    # results whose CONTENT equals an earlier (higher-ranked) result,
+    # truncate to limit (index.py:151-181)
+    fetched = eng.search(query, limit + PAGE_SIZE)
+    meta_cols = [c for c in ("file_path",) if c in docs.columns]
+    enriched = (
+        fetched.join(docs.select("doc_id", "text", *meta_cols), "doc_id")
+        .orderBy("rank")
+        .collect()
+    )
+    rows, seen = [], set()
+    for r in enriched:
+        key = r["text"]
+        if key in seen:
+            continue
+        seen.add(key)
+        rows.append(r)
+        if len(rows) >= limit:
+            break
+    if not rows:
+        print("No results found")
+        return 2
+    for i, r in enumerate(rows, 1):
+        label = (r["file_path"] if meta_cols and r["file_path"] is not None
+                 else f"doc_id={r['doc_id']}")
+        print(f"{i}. Score: {r['score']:.4f} {label}")
+    return 0
+
+
+def cmd_export(archive: str) -> int:
+    d = dataset_dir()
+    if not os.path.isdir(d):
+        print("No dataset to export", file=sys.stderr)
+        return 1
+    base = archive[:-4] if archive.endswith(".zip") else archive
+    shutil.make_archive(base, "zip", d)
+    print(f"Exported dataset to {base}.zip")
+    return 0
+
+
+def cmd_import(archive: str) -> int:
+    # reference validates zip before touching the dataset (index.py:190-197)
+    if not zipfile.is_zipfile(archive):
+        print(f"{archive} is not a valid archive", file=sys.stderr)
+        return 1
+    cmd_initialise()
+    with zipfile.ZipFile(archive) as z:
+        z.extractall(dataset_dir())
+    print(f"Imported dataset from {archive}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="bids-spark-search")
+    p.add_argument("--initialise", action="store_true")
+    p.add_argument("--index", metavar="DIR")
+    p.add_argument("--index-parquet", metavar="FILE")
+    p.add_argument("--search", metavar="QUERY")
+    p.add_argument("--results", type=int, default=10)
+    p.add_argument("--export", metavar="ZIP")
+    p.add_argument("--import", dest="import_", metavar="ZIP")
+    p.add_argument("--verbose", action="store_true")
+    a = p.parse_args(argv)
+
+    try:
+        if a.initialise:
+            return cmd_initialise()
+        if a.export:
+            return cmd_export(a.export)
+        if a.import_:
+            return cmd_import(a.import_)
+        if a.index or a.index_parquet:
+            spark = _get_spark(a.verbose)
+            return cmd_index(spark, a.index, a.index_parquet)
+        if a.search is not None:
+            spark = _get_spark(a.verbose)
+            return cmd_search(spark, a.search, a.results)
+        p.print_help()
+        return 1
+    except Exception as e:  # reference: any error → exit 1 (search.py:137)
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,116 @@
+"""Reference-fidelity tests: index reference-shaped BIDS JSON docs
+(whole-JSON-as-text, /root/reference/bids/index.py:112-118) through the
+CLI-grade ingest path and run the reference query set (FIXTURES.md §5)
+rank-identically vs the committed oracle.  Also: CLI exit codes
+(0 ok / 1 error / 2 no-hit — /root/reference/bids/search.py:119,137,139)
+and zip export/import round-trip (index.py:190-213)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from bids_spark.cli import ingest_directory
+from bids_spark.oracle import OracleIndex
+from bids_spark.plans.planner import SearchEngine
+from bids_spark.sources.bids_docs import write_fixture_corpus
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_QUERIES = [
+    "strcpy",               # README.md:320-356
+    "libc",                 # test/test_search.py:77-81
+    "libc AND libpng",      # README.md:284
+    "malloc free",          # default-OR
+    "libc -strcpy",         # must-not
+    '"globalsymbol"',       # JSON structural term
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("bids_docs"))
+    write_fixture_corpus(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, corpus_dir):
+    return ingest_directory(spark, corpus_dir).cache()
+
+
+def test_ingest_filters(spark, ingested, corpus_dir):
+    rows = ingested.collect()
+    paths = {os.path.basename(r["file_path"]) for r in rows}
+    assert "badfile.json" not in paths          # non-BIDS filtered
+    assert "hello.c" not in paths               # non-JSON skipped
+    assert "bin00.json" in paths and "bin00_copy.json" in paths
+    assert len(rows) == 21                      # 20 + duplicate
+
+
+def test_doc_ids_deterministic(spark, corpus_dir):
+    a = {r["file_path"]: r["doc_id"]
+         for r in ingest_directory(spark, corpus_dir).collect()}
+    b = {r["file_path"]: r["doc_id"]
+         for r in ingest_directory(spark, corpus_dir).collect()}
+    assert a == b  # vs the reference's salted hash() (index.py:44-45)
+
+
+@pytest.mark.parametrize("q", REFERENCE_QUERIES)
+def test_reference_query_set_rank_identical(ingested, q):
+    import math
+
+    eng = SearchEngine.from_documents(ingested, cache=False)
+    pdf = ingested.select("doc_id", "text").toPandas()
+    oracle = OracleIndex(dict(zip(pdf.doc_id, pdf.text)))
+    got = [(r["rank"], r["doc_id"], r["score"]) for r in eng.search(q, 10).collect()]
+    want = oracle.search(q, 10)
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want], q
+    for (_, _, gs), (_, _, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-6)
+
+
+def _cli(env, *args):
+    return subprocess.run(
+        [sys.executable, "-m", "bids_spark.cli", *args],
+        capture_output=True, text=True, env=env, cwd=REPO,
+    )
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(tmp_path, corpus_dir):
+    env = dict(os.environ,
+               BIDS_DATASET=str(tmp_path / "ds"),
+               BIDS_SPARK_CLI_CORES="4",
+               PYTHONPATH=REPO)
+    r = _cli(env, "--initialise")
+    assert r.returncode == 0, r.stderr
+    r = _cli(env, "--index", corpus_dir)
+    assert r.returncode == 0, r.stderr
+    assert "21 documents" in r.stdout
+
+    r = _cli(env, "--search", "strcpy", "--results", "5")
+    assert r.returncode == 0, r.stderr
+    assert "1. Score: " in r.stdout and ".json" in r.stdout
+    # score format {:.4f} (reference search.py:125)
+    first = r.stdout.splitlines()[0]
+    score_str = first.split("Score: ")[1].split(" ")[0]
+    assert len(score_str.split(".")[1]) == 4
+
+    r = _cli(env, "--search", "zzznotavailable")
+    assert r.returncode == 2                     # reference exit 2
+
+    # export / import round trip
+    zip_path = str(tmp_path / "ds.zip")
+    assert _cli(env, "--export", zip_path).returncode == 0
+    assert _cli(env, "--import", zip_path).returncode == 0
+    r = _cli(env, "--search", "strcpy")
+    assert r.returncode == 0
+
+    # invalid archive rejected (reference index.py:190-197)
+    bad = tmp_path / "not_a_zip.zip"
+    bad.write_text("nope")
+    assert _cli(env, "--import", str(bad)).returncode == 1

@@ -1,0 +1,68 @@
+"""Structured-Streaming incremental ingest: two micro-batches must
+yield a search state identical to batch-building over the union; a
+restarted stream (same checkpoint) must re-process nothing."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from bids_spark.plans.planner import SearchEngine
+from bids_spark.streaming.incremental import IncrementalIndexer
+
+
+def _write_batch(spark, landing, name, rows):
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(landing, name)
+    )
+
+
+@pytest.fixture(scope="module")
+def landing_and_idx(spark, tmp_path_factory):
+    landing = str(tmp_path_factory.mktemp("landing"))
+    out = str(tmp_path_factory.mktemp("inc_idx"))
+    idx = IncrementalIndexer(out)
+
+    _write_batch(spark, landing, "b1", [
+        (1, "spark streaming ingest first batch"),
+        (2, "merge join sort window"),
+    ])
+    q = idx.start(spark, os.path.join(landing, "*"))
+    q.awaitTermination(120)
+
+    _write_batch(spark, landing, "b2", [
+        (3, "second batch arrives with merge and join terms"),
+        (4, "streaming state lives in the checkpoint"),
+    ])
+    q = idx.start(spark, os.path.join(landing, "*"))
+    q.awaitTermination(120)
+    return landing, idx
+
+
+def test_all_docs_ingested_once(spark, landing_and_idx):
+    _, idx = landing_and_idx
+    docs = idx.current_docs(spark)
+    assert sorted(r["doc_id"] for r in docs.collect()) == [1, 2, 3, 4]
+
+
+def test_restart_reprocesses_nothing(spark, landing_and_idx):
+    _, idx = landing_and_idx
+    q = idx.start(spark, os.path.join(landing_and_idx[0], "*"))
+    q.awaitTermination(120)
+    docs = idx.current_docs(spark)
+    assert docs.count() == 4  # no duplicates after restart
+
+
+def test_incremental_equals_batch(spark, landing_and_idx):
+    _, idx = landing_and_idx
+    inc = idx.engine(spark)
+    batch = SearchEngine.from_documents(idx.current_docs(spark), cache=False)
+    for q in ["merge join", "streaming", "merge AND join", '"merge join"']:
+        a = [(r["rank"], r["doc_id"], round(r["score"], 9))
+             for r in inc.search(q, 10).collect()]
+        b = [(r["rank"], r["doc_id"], round(r["score"], 9))
+             for r in batch.search(q, 10).collect()]
+        assert a == b, q
