@@ -69,7 +69,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or": C.bm25_topk_sql(should=["merge", "join"]),
         "bm25_and": C.bm25_topk_sql(must=["merge", "join"]),
         "bm25_not": C.bm25_topk_sql(should=["merge"], must_not=["join"]),
-        # bm25_phrase: positions-based — rows-only check for now
+        "bm25_phrase": C.bm25_phrase_sql(["merge", "join"]),
         "token_count": C.SQL_TOKEN_COUNT,
         "quality_score": C.SQL_QUALITY,
         "lang_id": C.SQL_LANG_ID,

@@ -198,6 +198,46 @@ FROM tstat ts CROSS JOIN stats s
 """
 
 
+def bm25_phrase_sql(terms: list[str], k: int = 10) -> str:
+    """DuckDB oracle for a phrase query: consecutive-position chain
+    join; phrase tf = number of completed chains; idf = Σ member-term
+    idfs (Lucene phrase scoring); same BM25 length normalization."""
+    assert len(terms) >= 2
+    esc = [t.replace("'", "''") for t in terms]
+    chain_joins = "\n".join(
+        f"JOIN pos t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.lst = t0.lst "
+        f"AND t{i}.p = t0.p + {i} AND t{i}.lst[t{i}.p] = '{esc[i]}'"
+        for i in range(1, len(terms))
+    )
+    in_list = ", ".join(f"'{e}'" for e in esc)
+    return f"""
+WITH {_TOK_CTES},
+{_LST_CTE.strip().lstrip()},
+pos AS (SELECT doc_id, unnest(generate_series(1, len(lst))) AS p, lst FROM base),
+ph AS (
+  SELECT t0.doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM pos t0
+  {chain_joins}
+  WHERE t0.lst[t0.p] = '{esc[0]}'
+  GROUP BY t0.doc_id
+),
+phidf AS (
+  SELECT sum(ln(1 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5))) AS idf
+  FROM tstat ts CROSS JOIN stats s WHERE ts.term IN ({in_list})
+),
+scored AS (
+  SELECT ph.doc_id,
+         phidf.idf * ph.tf * 2.2 /
+         (ph.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl)) AS score
+  FROM ph JOIN dl d ON ph.doc_id = d.doc_id
+  CROSS JOIN stats s CROSS JOIN phidf
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-pipeline operators (dedup / similarity / text stats / multimodal)
 # ---------------------------------------------------------------------------

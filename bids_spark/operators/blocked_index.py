@@ -215,6 +215,7 @@ class BlockedIndex:
         fingerprint: str = "",
         n_partitions: int | None = None,
         tokenizer: str = "builtin",
+        n_buckets: int = 8,
     ) -> dict:
         """Build all stages (resumable). Returns the manifest.
 
@@ -224,6 +225,13 @@ class BlockedIndex:
         workers oversubscribe local-mode CPUs; on a real cluster the
         gap narrows but JVM still wins).  tokenizer="spimi" uses the
         Arrow/pandas SPIMI path (operators tested equal).
+
+        n_buckets: blocks are written partitionBy(bucket) with
+        bucket = pmod(xxhash64(term), n_buckets) — a term lookup
+        prunes to ONE directory (PartitionFilters) before row-group
+        stats even apply.  At 10^12 docs set this to thousands; the
+        bucket leads the range-partition key so each write task
+        touches few directories.
         """
         spark = docs.sparkSession
         man = self._manifest()
@@ -292,14 +300,24 @@ class BlockedIndex:
                 postings.join(doclens, "doc_id")
                 .join(term_df.select("term", idf.alias("idf")), "term")
                 .select("term", "doc_id", "tf", "idf", score.alias("score"))
+                .withColumn(
+                    "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+                )
             )
             blocks = (
-                enriched.repartitionByRange(n_part, "term", "doc_id")
-                .sortWithinPartitions("term", "doc_id")
+                enriched.repartitionByRange(n_part, "bucket", "term", "doc_id")
+                .sortWithinPartitions("bucket", "term", "doc_id")
                 .mapInPandas(_block_encoder(), BLOCK_SCHEMA)
+                .withColumn(
+                    "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+                )
             )
-            blocks.write.mode("overwrite").option("parquet.block.size", 8 * 1024 * 1024
-                                                  ).parquet(self._dir("blocks"))
+            (
+                blocks.write.mode("overwrite")
+                .option("parquet.block.size", 8 * 1024 * 1024)
+                .partitionBy("bucket")
+                .parquet(self._dir("blocks"))
+            )
             dt = time.time() - t0
             # ONE metrics job over the written blocks (not count+2 aggs)
             m = (
@@ -322,7 +340,7 @@ class BlockedIndex:
                 man, "blocks", fingerprint,
                 rows=int(m["n_blocks"]), seconds=dt, postings=n_postings,
                 compressed_bytes=comp_bytes,
-                n_docs=n_docs,
+                n_docs=n_docs, n_buckets=n_buckets,
                 docs_per_sec=n_docs / max(build_total, 1e-9),
                 postings_per_sec=n_postings / max(build_total, 1e-9),
                 bytes_per_posting=comp_bytes / max(n_postings, 1),

@@ -92,6 +92,10 @@ class BlockedSearchEngine:
         self.spark = spark
         self.index = index
         self.blocks = index.blocks(spark)
+        man = index._manifest()
+        self.n_buckets = int(
+            man["stages"].get("blocks", {}).get("n_buckets", 0) or 0
+        )
         if cache:
             # hot-serving mode: in-memory columnar blocks; term filters
             # still prune via InMemoryTableScan batch stats
@@ -99,8 +103,25 @@ class BlockedSearchEngine:
 
     # -- helpers -----------------------------------------------------------
 
+    def _term_buckets(self, terms: list[str]) -> list[int]:
+        """bucket ids for query terms (tiny local-relation job — must
+        use Spark's xxhash64 to match the write-side bucketing)."""
+        rows = (
+            self.spark.createDataFrame([(t,) for t in terms], ["t"])
+            .select(
+                F.pmod(F.xxhash64("t"), F.lit(self.n_buckets)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        return [r["b"] for r in rows]
+
     def _term_blocks(self, terms: list[str]) -> DataFrame:
-        return self.blocks.filter(F.col("term").isin(terms))
+        out = self.blocks
+        if self.n_buckets:
+            # directory-level partition pruning first, then row-group stats
+            out = out.filter(F.col("bucket").isin(self._term_buckets(terms)))
+        return out.filter(F.col("term").isin(terms))
 
     def _flat(self, node, bucket):
         """Extract flat term lists; returns None if non-flat (nested/phrase)."""

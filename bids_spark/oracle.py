@@ -59,7 +59,8 @@ class OracleIndex:
         }
 
     def _eval_phrase(self, terms: tuple[str, ...]) -> dict[int, float]:
-        idf = sum(self.idf(self.df[t]) for t in terms if t in self.df)
+        # idf over DISTINCT member terms (matches the planner)
+        idf = sum(self.idf(self.df[t]) for t in set(terms) if t in self.df)
         out = {}
         for d, pos in self.positions.items():
             if any(t not in pos for t in terms):

@@ -1,0 +1,73 @@
+"""Property tests on randomized corpora/queries (SURVEY.md §7.3 #1):
+the Spark engine (naive AND blocked/pruned paths) must match the
+committed oracle rank-identically for arbitrary inputs, including
+pathological shapes (empty docs, dup texts, >40-char tokens, head
+terms in every doc)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from bids_spark.operators.blocked_index import BlockedIndex
+from bids_spark.operators.wand import BlockedSearchEngine
+from bids_spark.oracle import OracleIndex
+from bids_spark.plans.planner import SearchEngine
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "head", "rare1", "rare2",
+         "x" * 41, "MiXeD", "punct.sep"]
+
+
+def make_corpus(seed: int, n_docs: int = 60):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        if rng.random() < 0.05:
+            rows.append((i, ""))
+            continue
+        words = ["head"] if rng.random() < 0.8 else []  # head term skew
+        words += rng.choices(VOCAB, k=rng.randint(1, 30))
+        rows.append((i, " ".join(words)))
+    # planted exact duplicate
+    rows.append((n_docs, rows[0][1]))
+    return rows
+
+
+def make_queries(seed: int):
+    rng = random.Random(seed + 1)
+    qs = ["head", "alpha beta", "alpha AND beta", "head -alpha",
+          '"alpha beta"', "gamma delta rare1"]
+    for _ in range(2):
+        terms = rng.sample(VOCAB[:7], rng.randint(1, 3))
+        qs.append(" ".join(terms))
+    return qs
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_engine_matches_oracle_random(spark, seed, tmp_path):
+    rows = make_corpus(seed)
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    eng = SearchEngine.from_documents(docs, cache=False)
+    oracle = OracleIndex(dict(rows))
+
+    bi = BlockedIndex(str(tmp_path / f"idx{seed}"))
+    bi.build(docs, fingerprint=f"prop{seed}", n_partitions=4)
+    beng = BlockedSearchEngine(spark, bi)
+
+    for q in make_queries(seed):
+        want = oracle.search(q, 10)
+        got = [(r["rank"], r["doc_id"], r["score"])
+               for r in eng.search(q, 10).collect()]
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want], (seed, q)
+        for (_, _, gs), (_, _, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-6), (seed, q)
+        # blocked path: only flat term queries (no phrase)
+        if '"' not in q:
+            bgot = [(r["rank"], r["doc_id"], r["score"])
+                    for r in beng.search(q, 10).collect()]
+            assert [(r, d) for r, d, _ in bgot] == [(r, d) for r, d, _ in want], (
+                seed, q, "blocked")
+            for (_, _, gs), (_, _, ws) in zip(bgot, want):
+                assert math.isclose(gs, ws, rel_tol=1e-6), (seed, q, "blocked")
