@@ -186,10 +186,29 @@ class BlockedIndex:
                 return json.load(f)
         return {"stages": {}}
 
+    def _lineage(self, stage: str) -> list[dict]:
+        """Per-partition lineage: one entry per output part-file (a
+        part-file is exactly one task/partition's output)."""
+        d = self._dir(stage)
+        out = []
+        if os.path.isdir(d):
+            for root, _dirs, files in os.walk(d):
+                for f in sorted(files):
+                    if f.startswith("part-"):
+                        p = os.path.join(root, f)
+                        out.append(
+                            {
+                                "file": os.path.relpath(p, d),
+                                "bytes": os.path.getsize(p),
+                            }
+                        )
+        return out
+
     def _mark(self, manifest: dict, stage: str, fingerprint: str, **metrics):
         manifest["stages"][stage] = {
             "status": "done",
             "fingerprint": fingerprint,
+            "partitions": self._lineage(stage),
             **metrics,
         }
         os.makedirs(self.path, exist_ok=True)
