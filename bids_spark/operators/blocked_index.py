@@ -16,6 +16,13 @@ resumable Spark dataflow:
                     BM25 → repartitionByRange(term, doc_id) +
                     sortWithinPartitions → streaming mapInPandas block
                     encoder (codec.py) → parquet sorted by term
+                    (with_positions=True also packs token positions —
+                    tantivy record:"position" — enabling phrase queries
+                    on this path)
+  stage "terms"     term dictionary (bucket, term → df, gmax, idf,
+                    n_blocks) — tantivy's .term files (SURVEY §2 D2);
+                    query-time gmax/idf lookups become a pruned scan
+                    of one tiny row per term
 
 Scale properties:
   * head-term skew: the RANGE partitioner on (term, doc_id) splits a
@@ -114,12 +121,13 @@ def spimi_partial_postings(docs: DataFrame, id_col="doc_id", text_col="text") ->
     )
 
 
-def _block_encoder():
-    """Streaming block encoder over (term, doc_id, tf, idf, score)
-    batches sorted by (term, doc_id) within the partition.  Scores are
-    already computed JVM-side (whole-stage codegen) before the range
-    shuffle — the Python worker only packs bytes.  Carries the trailing
-    partial term-run between Arrow batches (O(batch) memory)."""
+def _block_encoder(with_positions: bool = False):
+    """Streaming block encoder over (term, doc_id, tf, idf, score
+    [, positions]) batches sorted by (term, doc_id) within the
+    partition.  Scores are already computed JVM-side (whole-stage
+    codegen) before the range shuffle — the Python worker only packs
+    bytes.  Carries the trailing partial term-run between Arrow batches
+    (O(batch) memory)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -128,11 +136,21 @@ def _block_encoder():
             docs = run["doc_id"].to_numpy()
             tfs = run["tf"].to_numpy()
             scores = run["score"].to_numpy()
+            pos_cells = run["positions"] if with_positions else None
             rows = []
             term = run["term"].iloc[0]
             idf = float(run["idf"].iloc[0])
             for s in range(0, len(docs), BLOCK_SIZE):
                 e = min(s + BLOCK_SIZE, len(docs))
+                flat = None
+                if pos_cells is not None:
+                    cells = [
+                        np.asarray(c, dtype=np.int64)
+                        for c in pos_cells.iloc[s:e]
+                    ]
+                    flat = (
+                        np.concatenate(cells) if cells else np.empty(0, np.int64)
+                    )
                 rows.append(
                     (
                         term,
@@ -141,7 +159,7 @@ def _block_encoder():
                         int(docs[e - 1]),
                         float(scores[s:e].max()),
                         idf,
-                        encode_block(docs[s:e], tfs[s:e], scores[s:e]),
+                        encode_block(docs[s:e], tfs[s:e], scores[s:e], flat),
                     )
                 )
             return pd.DataFrame(
@@ -235,6 +253,7 @@ class BlockedIndex:
         n_partitions: int | None = None,
         tokenizer: str = "builtin",
         n_buckets: int = 8,
+        with_positions: bool = False,
     ) -> dict:
         """Build all stages (resumable). Returns the manifest.
 
@@ -251,14 +270,25 @@ class BlockedIndex:
         stats even apply.  At 10^12 docs set this to thousands; the
         bucket leads the range-partition key so each write task
         touches few directories.
+
+        with_positions: also record token positions per posting
+        (tantivy record:"position", meta.json:29) so phrase queries
+        run on the blocked path; forces the builtin tokenizer and
+        costs ~1 extra byte/occurrence in the payloads.
         """
         spark = docs.sparkSession
         man = self._manifest()
         n_part = n_partitions or spark.sparkContext.defaultParallelism
+        fingerprint = fingerprint + ("+pos" if with_positions else "")
 
         if not self._stage_done(man, "postings", fingerprint):
             t0 = time.time()
-            if tokenizer == "spimi":
+            if with_positions:
+                from bids_spark.operators.index_build import (
+                    postings_with_positions as _builtin_pos,
+                )
+                part = _builtin_pos(docs, id_col, text_col)
+            elif tokenizer == "spimi":
                 part = spimi_partial_postings(docs, id_col, text_col)
             else:
                 from bids_spark.operators.index_build import postings as _builtin
@@ -315,10 +345,13 @@ class BlockedIndex:
                     )
                 )
             )
+            cols = ["term", "doc_id", "tf", "idf", score.alias("score")]
+            if with_positions:
+                cols.append(F.col("positions"))
             enriched = (
                 postings.join(doclens, "doc_id")
                 .join(term_df.select("term", idf.alias("idf")), "term")
-                .select("term", "doc_id", "tf", "idf", score.alias("score"))
+                .select(*cols)
                 .withColumn(
                     "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
                 )
@@ -326,7 +359,7 @@ class BlockedIndex:
             blocks = (
                 enriched.repartitionByRange(n_part, "bucket", "term", "doc_id")
                 .sortWithinPartitions("bucket", "term", "doc_id")
-                .mapInPandas(_block_encoder(), BLOCK_SCHEMA)
+                .mapInPandas(_block_encoder(with_positions), BLOCK_SCHEMA)
                 .withColumn(
                     "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
                 )
@@ -360,10 +393,36 @@ class BlockedIndex:
                 rows=int(m["n_blocks"]), seconds=dt, postings=n_postings,
                 compressed_bytes=comp_bytes,
                 n_docs=n_docs, n_buckets=n_buckets,
+                with_positions=with_positions,
                 docs_per_sec=n_docs / max(build_total, 1e-9),
                 postings_per_sec=n_postings / max(build_total, 1e-9),
                 bytes_per_posting=comp_bytes / max(n_postings, 1),
             )
+
+        if not self._stage_done(man, "terms", fingerprint):
+            # term dictionary (tantivy's .term files, SURVEY §2 D2):
+            # one row per (bucket, term) with df, global max block score
+            # and idf — lets a query resolve gmax/idf with a pruned scan
+            # of a tiny table instead of aggregating over the blocks
+            t0 = time.time()
+            tdict = (
+                spark.read.parquet(self._dir("blocks"))
+                .groupBy("bucket", "term")
+                .agg(
+                    F.sum("n").cast("long").alias("df"),
+                    F.max("block_max_score").alias("gmax"),
+                    F.first("idf").alias("idf"),
+                    F.count("*").cast("int").alias("n_blocks"),
+                )
+            )
+            (
+                tdict.repartition("bucket")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(self._dir("terms"))
+            )
+            self._mark(man, "terms", fingerprint, seconds=time.time() - t0)
         return self._manifest()
 
     # ---- read side --------------------------------------------------------
@@ -371,8 +430,17 @@ class BlockedIndex:
     def blocks(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self._dir("blocks"))
 
+    def terms(self, spark: SparkSession) -> DataFrame:
+        """Term dictionary: (term, df, gmax, idf, n_blocks, bucket)."""
+        return spark.read.parquet(self._dir("terms"))
+
     def doclens(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self._dir("doclens"))
+
+    @property
+    def has_positions(self) -> bool:
+        st = self._manifest()["stages"].get("blocks", {})
+        return bool(st.get("with_positions"))
 
     def stats(self, spark: SparkSession) -> tuple[int, float]:
         r = spark.read.parquet(self._dir("stats")).first()

@@ -8,10 +8,17 @@ over parquet `binary` cells.
 
 Format per block (little-endian):
 
-    [u16 n] [u8 width_delta] [u8 width_tf]
+    [u16 n] [u8 width_delta] [u8 width_tf] [u8 width_pos]
     [ (n-1) * width_delta bytes : doc-id gaps, gap-1 encoded ]
     [ n     * width_tf    bytes : term frequencies ]
     [ n * 8 bytes               : exact float64 per-posting BM25 score ]
+    [ Σtf * width_pos bytes     : token positions, delta-in-posting ]   (iff width_pos > 0)
+
+The positions section is optional (width_pos == 0 ⇒ absent) and
+mirrors tantivy's `.pos` files (record:"position",
+playground/bids_index/meta.json:29): per posting there are exactly tf
+positions, stored as within-posting deltas (first absolute), which is
+what makes phrase queries (D6) possible on the compressed path.
 
 Carrying the exact per-posting impact score (computed once at build
 with global df/avgdl) lets query-time scoring skip the doclens join
@@ -52,9 +59,16 @@ def _width_for(max_val: int) -> int:
     return 8
 
 
-def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, scores: np.ndarray) -> bytes:
+def encode_block(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    scores: np.ndarray,
+    positions: np.ndarray | None = None,
+) -> bytes:
     """doc_ids: sorted unique int64 (ascending), tfs: int64 ≥1,
-    scores: float64 exact per-posting BM25.
+    scores: float64 exact per-posting BM25; positions (optional): flat
+    int array of length Σtf — the ascending token positions of posting
+    i occupy positions[Σtf[:i] : Σtf[:i+1]].
 
     All gap math is done in uint64 (two's-complement reinterpretation),
     so negative xxhash64 doc ids and full-range gaps are safe.
@@ -66,12 +80,29 @@ def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, scores: np.ndarray) -> by
         gaps = (np.diff(u) - np.uint64(1)) if n > 1 else np.empty(0, np.uint64)
     wd = _width_for(int(gaps.max()) if n > 1 else 0)
     wt = _width_for(int(tfs.max()) - 1)
-    head = np.array([n], dtype="<u2").tobytes() + bytes([wd, wt])
+    pos_bytes = b""
+    wp = 0
+    if positions is not None:
+        flat = np.asarray(positions, dtype=np.int64)
+        assert len(flat) == int(tfs.sum())
+        # delta within each posting: first position absolute, rest diffs
+        deltas = np.empty_like(flat)
+        if len(flat):
+            deltas[0] = flat[0]
+            deltas[1:] = flat[1:] - flat[:-1]
+            starts = np.concatenate(
+                ([0], np.cumsum(tfs.astype(np.int64))[:-1])
+            ).astype(np.int64)
+            deltas[starts] = flat[starts]
+        wp = _width_for(int(deltas.max()) if len(deltas) else 0)
+        pos_bytes = deltas.astype(_DTYPES[wp]).tobytes()
+    head = np.array([n], dtype="<u2").tobytes() + bytes([wd, wt, wp])
     return (
         head
         + gaps.astype(_DTYPES[wd]).tobytes()
         + (tfs.astype(np.uint64) - np.uint64(1)).astype(_DTYPES[wt]).tobytes()
         + scores.astype("<f8").tobytes()
+        + pos_bytes
     )
 
 
@@ -79,9 +110,21 @@ def decode_block(
     payload: bytes, first_doc: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """→ (doc_ids int64 ascending, tfs int64, scores float64)."""
+    d, t, s, _ = _decode(payload, first_doc, want_positions=False)
+    return d, t, s
+
+
+def decode_block_positions(
+    payload: bytes, first_doc: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
+    """→ (doc_ids, tfs, scores, flat positions or None if not stored)."""
+    return _decode(payload, first_doc, want_positions=True)
+
+
+def _decode(payload: bytes, first_doc: int, want_positions: bool):
     n = int(np.frombuffer(payload[:2], dtype="<u2")[0])
-    wd, wt = payload[2], payload[3]
-    off = 4
+    wd, wt, wp = payload[2], payload[3], payload[4]
+    off = 5
     gaps = np.frombuffer(payload[off : off + (n - 1) * wd], dtype=_DTYPES[wd]).astype(
         np.uint64
     )
@@ -92,9 +135,21 @@ def decode_block(
     )
     off += n * wt
     scores = np.frombuffer(payload[off : off + n * 8], dtype="<f8")
+    off += n * 8
     docs_u = np.empty(n, dtype=np.uint64)
     docs_u[0] = np.int64(first_doc).astype(np.uint64)
     if n > 1:
         with np.errstate(over="ignore"):
             docs_u[1:] = docs_u[0] + np.cumsum(gaps + np.uint64(1))
-    return docs_u.view(np.int64).copy(), tfs, scores.copy()
+    positions = None
+    if want_positions and wp:
+        total = int(tfs.sum())
+        deltas = np.frombuffer(
+            payload[off : off + total * wp], dtype=_DTYPES[wp]
+        ).astype(np.int64)
+        # invert the per-posting delta: cumsum, then rebase each posting
+        c = np.cumsum(deltas)
+        starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+        seg_base = c[starts] - deltas[starts]
+        positions = c - np.repeat(seg_base, tfs)
+    return docs_u.view(np.int64).copy(), tfs, scores.copy(), positions

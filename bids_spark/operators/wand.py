@@ -4,15 +4,18 @@ Classic block-max WAND is a sequential cursor algorithm; per-cursor
 state doesn't distribute.  This is the exact distributed reformulation
 (north-star "block-max WAND over per-block max-score metadata"):
 
-  Phase 0  scan only blocks of the query terms — parquet row-group
-           pruning on the sorted `term` column makes this a sliver of
-           the table (PushedFilters: In(term, [...])).
-  Phase 1  θ (a lower bound on the k-th best total score): decode just
+  Phase 0  scan only blocks of the query terms — directory-level
+           partition pruning on `bucket` (computed driver-side with a
+           Spark-compatible xxHash64, functions/hashing.py — no Spark
+           job) then parquet row-group pruning on the sorted `term`
+           column (PushedFilters: In(term, [...])).
+  Phase 1  per-term gmax (global max block score) from the TERM
+           DICTIONARY table (tantivy's .term files, D2) — a pruned
+           scan of one tiny row per term, not an aggregate over blocks.
+  Phase 2  θ (a lower bound on the k-th best total score): decode just
            the highest-`block_max_score` blocks per term (enough to
-           cover ≥k postings) and take the k-th best *single-term*
-           exact score.  Valid because total(d) ≥ any single-term
-           contribution of d.
-  Phase 2  prune: drop block b of term t iff
+           cover ≥k postings) and take the k-th best partial score.
+  Phase 3  prune: drop block b of term t iff
                block_max_score(b) + Σ_{t'≠t} gmax(t')  <  θ .
            EXACTNESS ARGUMENT: for any doc d appearing in a pruned
            block b of term t,
@@ -24,13 +27,18 @@ state doesn't distribute.  This is the exact distributed reformulation
            cannot displace true top-k members.  Top-k is therefore
            rank- and score-identical to full evaluation (property-
            tested against the naive engine).
-  Phase 3  decode surviving blocks (mapInPandas, numpy) →
+  Phase 4  decode surviving blocks (mapInPandas, numpy) →
            groupBy(doc_id).sum(score) → TakeOrderedAndProject.
 
 Pruning applies to pure-OR term queries (the default tantivy shape).
-must/must_not queries evaluate via full decode of their terms' blocks
-— still term-pruned scans, just no θ-pruning (the intersection itself
-is selective).
+Flat must/must_not queries evaluate via full decode of their terms'
+blocks — still term-pruned scans, just no θ-pruning (the intersection
+itself is selective).  Nested boolean and phrase queries evaluate
+through the shared BooleanEvaluator (plans/planner.py); phrases decode
+the positions section of the payloads (requires an index built with
+with_positions=True) and reuse the exact same Catalyst expression tree
+as the naive engine (plans.planner.eval_phrase) for bit-identical
+scores.
 """
 
 from __future__ import annotations
@@ -43,15 +51,25 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bids_spark.functions.hashing import term_bucket
 from bids_spark.operators.blocked_index import BlockedIndex
-from bids_spark.operators.codec import decode_block
+from bids_spark.operators.codec import decode_block, decode_block_positions
 from bids_spark.plans.parser import Bool, Phrase, Term, parse_query
+from bids_spark.plans.planner import BooleanEvaluator, eval_phrase
 
 _DECODED = T.StructType(
     [
         T.StructField("term", T.StringType()),
         T.StructField("doc_id", T.LongType()),
         T.StructField("score", T.DoubleType()),
+    ]
+)
+
+_DECODED_POS = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
     ]
 )
 
@@ -77,6 +95,35 @@ def _decode_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _decode_pos_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        terms, docs, plists = [], [], []
+        for term, first_doc, payload in zip(
+            pdf["term"], pdf["first_doc"], pdf["payload"]
+        ):
+            d, tfs, _s, flat = decode_block_positions(bytes(payload), int(first_doc))
+            if flat is None:
+                raise ValueError(
+                    "block has no positions section — rebuild the index "
+                    "with with_positions=True to run phrase queries"
+                )
+            bounds = np.cumsum(tfs)[:-1]
+            plists.extend(
+                [p.astype(np.int32) for p in np.split(flat, bounds)]
+            )
+            docs.append(d)
+            terms.append(np.full(len(d), term, dtype=object))
+        yield pd.DataFrame(
+            {
+                "term": np.concatenate(terms),
+                "doc_id": np.concatenate(docs),
+                "positions": pd.Series(plists, dtype=object),
+            }
+        )
+
+
 def decode_blocks(blocks: DataFrame) -> DataFrame:
     """blocks(term, first_doc, payload, ...) → (term, doc_id, score)."""
     return blocks.select("term", "first_doc", "payload").mapInPandas(
@@ -84,67 +131,109 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
     )
 
 
-class BlockedSearchEngine:
-    """Query engine over a built BlockedIndex (terms/AND/OR/NOT; phrases
-    need positions → handled by the naive SearchEngine, documented)."""
+def decode_blocks_positions(blocks: DataFrame) -> DataFrame:
+    """blocks → (term, doc_id, positions array<int>) from the payload
+    positions section (tantivy `.pos` analogue)."""
+    return blocks.select("term", "first_doc", "payload").mapInPandas(
+        _decode_pos_udf, _DECODED_POS
+    )
+
+
+class BlockedSearchEngine(BooleanEvaluator):
+    """Query engine over a built BlockedIndex.
+
+    terms/AND/OR/NOT on flat queries use single-scan fast paths with
+    block-max pruning; nested booleans and phrases (positions-built
+    index) evaluate through the shared BooleanEvaluator."""
 
     def __init__(self, spark: SparkSession, index: BlockedIndex, cache: bool = False):
         self.spark = spark
         self.index = index
         self.blocks = index.blocks(spark)
+        self.tdict = index.terms(spark)
         man = index._manifest()
         self.n_buckets = int(
             man["stages"].get("blocks", {}).get("n_buckets", 0) or 0
         )
+        self._stats_cache: tuple[int, float] | None = None
+        self._doclens_cache: DataFrame | None = None
         if cache:
             # hot-serving mode: in-memory columnar blocks; term filters
             # still prune via InMemoryTableScan batch stats
             self.blocks = self.blocks.cache()
+            self.tdict = self.tdict.cache()
 
     # -- helpers -----------------------------------------------------------
 
-    def _term_buckets(self, terms: list[str]) -> list[int]:
-        """bucket ids for query terms (tiny local-relation job — must
-        use Spark's xxhash64 to match the write-side bucketing)."""
-        rows = (
-            self.spark.createDataFrame([(t,) for t in terms], ["t"])
-            .select(
-                F.pmod(F.xxhash64("t"), F.lit(self.n_buckets)).cast("int").alias("b")
-            )
-            .distinct()
-            .collect()
-        )
-        return [r["b"] for r in rows]
+    def _buckets(self, terms: list[str]) -> list[int]:
+        """Bucket ids computed driver-side (hashing.term_bucket is
+        bit-identical to Spark's xxhash64 — tested) → zero Spark jobs."""
+        return sorted({term_bucket(t, self.n_buckets) for t in terms})
 
-    def _term_blocks(self, terms: list[str]) -> DataFrame:
-        out = self.blocks
+    def _bucket_filter(self, df: DataFrame, terms: list[str]) -> DataFrame:
         if self.n_buckets:
             # directory-level partition pruning first, then row-group stats
-            out = out.filter(F.col("bucket").isin(self._term_buckets(terms)))
-        return out.filter(F.col("term").isin(terms))
+            df = df.filter(F.col("bucket").isin(self._buckets(terms)))
+        return df
 
-    def _flat(self, node, bucket):
-        """Extract flat term lists; returns None if non-flat (nested/phrase)."""
-        if isinstance(node, Term):
-            bucket.append(node.term)
-            return True
-        return False
+    def _term_blocks(self, terms: list[str]) -> DataFrame:
+        return self._bucket_filter(self.blocks, terms).filter(
+            F.col("term").isin(terms)
+        )
 
-    # -- scoring paths -------------------------------------------------------
+    def _term_meta(self, terms: list[str]) -> dict[str, dict]:
+        """term → {df, gmax, idf, n_blocks} from the term dictionary
+        (one tiny pruned scan)."""
+        rows = (
+            self._bucket_filter(self.tdict, terms)
+            .filter(F.col("term").isin(terms))
+            .collect()
+        )
+        return {r["term"]: r.asDict() for r in rows}
+
+    def _doclens(self) -> DataFrame:
+        if self._doclens_cache is None:
+            self._doclens_cache = self.index.doclens(self.spark)
+        return self._doclens_cache
+
+    def _stats(self) -> tuple[int, float]:
+        if self._stats_cache is None:
+            self._stats_cache = self.index.stats(self.spark)
+        return self._stats_cache
+
+    # -- BooleanEvaluator hooks (generic/nested path) ------------------------
+
+    def _eval_term(self, t: Term) -> DataFrame:
+        return decode_blocks(self._term_blocks([t.term])).select("doc_id", "score")
+
+    def _eval_phrase(self, p: Phrase) -> DataFrame:
+        if not self.index.has_positions:
+            raise NotImplementedError(
+                "this blocked index stores no positions; rebuild with "
+                "with_positions=True (or use the naive SearchEngine) "
+                "for phrase queries"
+            )
+        uniq = list(dict.fromkeys(p.terms))
+        decoded = decode_blocks_positions(self._term_blocks(uniq))
+        n_docs, avgdl = self._stats()
+        return eval_phrase(decoded, self._doclens(), n_docs, avgdl, p)
+
+    def _empty_scores(self) -> DataFrame:
+        return self._empty()
+
+    # -- scoring fast paths ---------------------------------------------------
 
     def _topk_or_pruned(self, terms: list[str], k: int) -> DataFrame:
         tb = self._term_blocks(terms)
         if len(set(terms)) == 1:
-            # single term: prune condition is bm(b) ≥ θ directly — the
-            # per-term gmax aggregate job is unnecessary
+            # single term: prune condition is bm(b) ≥ θ directly — no
+            # term-dictionary lookup needed
             gmax, gsum = {terms[0]: 0.0}, 0.0
         else:
-            gmax_rows = (
-                tb.groupBy("term").agg(F.max("block_max_score").alias("g")).collect()
-            )
-            if not gmax_rows:
+            meta = self._term_meta(terms)
+            if not meta:
                 return self._empty()
-            gmax = {r["term"]: r["g"] for r in gmax_rows}
+            gmax = {t: float(m["gmax"]) for t, m in meta.items()}
             gsum = float(sum(gmax.values()))
 
         # θ: decode only the highest-impact blocks per term (covering ≥k
@@ -232,17 +321,18 @@ class BlockedSearchEngine:
                 must.extend(m.term for m in node.must)
             else:
                 flat = False
-        if not flat:
-            raise NotImplementedError(
-                "blocked index stores no positions; nested/phrase queries "
-                "run on the naive SearchEngine (positions path)"
-            )
-        if not must and not should:
-            matches = self._empty()
-        elif not must and not must_not and prune:
-            matches = self._topk_or_pruned(should, limit)
+        if flat:
+            if not must and not should:
+                matches = self._empty()
+            elif not must and not must_not and prune:
+                matches = self._topk_or_pruned(should, limit)
+            else:
+                matches = self._topk_bool(must, should, must_not, limit)
         else:
-            matches = self._topk_bool(must, should, must_not, limit)
+            # nested boolean / phrase → shared evaluator over decoded blocks
+            matches = self._eval_bool(ast).orderBy(
+                F.desc("score"), F.asc("doc_id")
+            ).limit(limit)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return matches.select(
             F.row_number().over(w).alias("rank"), "doc_id", "score"

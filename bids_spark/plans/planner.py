@@ -40,7 +40,134 @@ from bids_spark.operators.index_build import (
 from bids_spark.plans.parser import Bool, Phrase, Term, parse_query
 
 
-class SearchEngine:
+def eval_phrase(
+    postings_pos: DataFrame,
+    doclens_df: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    p: Phrase,
+) -> DataFrame:
+    """(doc_id, score) for docs where p.terms occur consecutively.
+
+    `postings_pos` needs columns (term, doc_id, positions array<int>)
+    and must contain at least every posting of the phrase's terms (a
+    superset is fine — filters are applied here).  Shared by the naive
+    engine and the blocked engine (which feeds decoded blocks), so both
+    paths evaluate the *same* Catalyst expression tree → bit-identical
+    scores.
+
+    Chain of array intersections: carry the set of positions where the
+    prefix ends; phrase tf = |final set|.  Scored like a pseudo-term:
+    idf = Σ member-term idfs (Lucene phrase scoring), tf = phrase
+    frequency, same length normalization.
+    """
+    first, rest = p.terms[0], p.terms[1:]
+    cur = (
+        postings_pos.filter(F.col("term") == first)
+        .select("doc_id", F.col("positions").alias("ends"))
+    )
+    for i, t in enumerate(rest):
+        nxt = postings_pos.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"p{i}")
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .select(
+                "doc_id",
+                F.array_intersect(
+                    F.transform("ends", lambda x: x + 1), F.col(f"p{i}")
+                ).alias("ends"),
+            )
+            .filter(F.size("ends") > 0)
+        )
+    phrase_tf = cur.select("doc_id", F.size("ends").alias("tf"))
+    # idf of the phrase = sum of member-term idfs
+    dfs = (
+        postings_pos.filter(F.col("term").isin(list(p.terms)))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .select(idf_expr(F.col("df"), F.lit(n_docs)).alias("idf"))
+        .agg(F.sum("idf").alias("idf"))
+    )
+    return (
+        phrase_tf.join(doclens_df, "doc_id")
+        .crossJoin(F.broadcast(dfs))
+        .select(
+            "doc_id",
+            bm25_term_score(
+                F.col("tf"), F.col("dl"), F.lit(avgdl), F.col("idf")
+            ).alias("score"),
+        )
+    )
+
+
+class BooleanEvaluator:
+    """AST → (doc_id, score) DataFrame, Lucene BooleanQuery semantics.
+
+    Subclasses provide `_eval_term`, `_eval_phrase`, `_empty_scores`;
+    Bool combination (must = inner joins D4, should = union +
+    groupBy-sum D3, must_not = left_anti D5) is shared so the naive and
+    blocked engines can't drift apart.
+    """
+
+    def _eval_term(self, t: Term) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+    def _eval_phrase(self, p: Phrase) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+    def _empty_scores(self) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+    def _eval(self, node) -> DataFrame:
+        if isinstance(node, Term):
+            return self._eval_term(node)
+        if isinstance(node, Phrase):
+            return self._eval_phrase(node)
+        if isinstance(node, Bool):
+            return self._eval_bool(node)
+        raise TypeError(f"unknown AST node {node!r}")
+
+    def _union_sum(self, dfs: list[DataFrame]) -> DataFrame:
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    def _eval_bool(self, b: Bool) -> DataFrame:
+        if not b.must and not b.should:
+            # pure-negative query matches nothing (Lucene semantics)
+            return self._empty_scores()
+        if b.must:
+            base = None
+            for i, m in enumerate(b.must):
+                ev = self._eval(m).withColumnRenamed("score", f"s{i}")
+                base = ev if base is None else base.join(ev, "doc_id")
+            score = sum(F.col(f"s{i}") for i in range(len(b.must)))
+            base = base.select("doc_id", score.alias("score"))
+            if b.should:
+                opt = self._union_sum([self._eval(s) for s in b.should])
+                base = (
+                    base.join(
+                        opt.withColumnRenamed("score", "opt_score"), "doc_id", "left"
+                    )
+                    .select(
+                        "doc_id",
+                        (
+                            F.col("score") + F.coalesce(F.col("opt_score"), F.lit(0.0))
+                        ).alias("score"),
+                    )
+                )
+        else:
+            base = self._union_sum([self._eval(s) for s in b.should])
+        for n in b.must_not:
+            base = base.join(
+                self._eval(n).select("doc_id"), "doc_id", "left_anti"
+            )
+        return base
+
+
+class SearchEngine(BooleanEvaluator):
     """Naive (uncompressed, exact) search path over index DataFrames.
 
     `from_documents` builds the index lazily from a corpus DataFrame;
@@ -90,98 +217,12 @@ class SearchEngine:
         return self.scored.filter(F.col("term") == t.term).select("doc_id", "score")
 
     def _eval_phrase(self, p: Phrase) -> DataFrame:
-        """Docs where p.terms occur at consecutive positions.
-
-        Chain of array intersections: carry the set of positions where
-        the prefix ends; phrase tf = |final set|.  Scored like a
-        pseudo-term: idf = Σ term idfs (Lucene phrase scoring), tf =
-        phrase frequency, same length normalization.
-        """
-        first, rest = p.terms[0], p.terms[1:]
-        cur = (
-            self.postings_pos.filter(F.col("term") == first)
-            .select("doc_id", F.col("positions").alias("ends"))
-        )
-        for i, t in enumerate(rest):
-            nxt = self.postings_pos.filter(F.col("term") == t).select(
-                "doc_id", F.col("positions").alias(f"p{i}")
-            )
-            cur = (
-                cur.join(nxt, "doc_id")
-                .select(
-                    "doc_id",
-                    F.array_intersect(
-                        F.transform("ends", lambda x: x + 1), F.col(f"p{i}")
-                    ).alias("ends"),
-                )
-                .filter(F.size("ends") > 0)
-            )
-        phrase_tf = cur.select("doc_id", F.size("ends").alias("tf"))
-        # idf of the phrase = sum of member-term idfs
-        dfs = (
-            self.postings_pos.filter(F.col("term").isin(list(p.terms)))
-            .groupBy("term")
-            .agg(F.count("*").alias("df"))
-            .select(idf_expr(F.col("df"), F.lit(self.n_docs)).alias("idf"))
-            .agg(F.sum("idf").alias("idf"))
-        )
-        return (
-            phrase_tf.join(self.doclens, "doc_id")
-            .crossJoin(F.broadcast(dfs))
-            .select(
-                "doc_id",
-                bm25_term_score(
-                    F.col("tf"), F.col("dl"), F.lit(self.avgdl), F.col("idf")
-                ).alias("score"),
-            )
+        return eval_phrase(
+            self.postings_pos, self.doclens, self.n_docs, self.avgdl, p
         )
 
-    def _eval(self, node) -> DataFrame:
-        if isinstance(node, Term):
-            return self._eval_term(node)
-        if isinstance(node, Phrase):
-            return self._eval_phrase(node)
-        if isinstance(node, Bool):
-            return self._eval_bool(node)
-        raise TypeError(f"unknown AST node {node!r}")
-
-    def _union_sum(self, dfs: list[DataFrame]) -> DataFrame:
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
-        return out.groupBy("doc_id").agg(F.sum("score").alias("score"))
-
-    def _eval_bool(self, b: Bool) -> DataFrame:
-        if not b.must and not b.should:
-            # pure-negative query matches nothing (Lucene semantics)
-            return self.scored.select("doc_id", "score").limit(0)
-        if b.must:
-            base = None
-            for i, m in enumerate(b.must):
-                ev = self._eval(m).withColumnRenamed("score", f"s{i}")
-                base = ev if base is None else base.join(ev, "doc_id")
-            score = sum(F.col(f"s{i}") for i in range(len(b.must)))
-            base = base.select("doc_id", score.alias("score"))
-            if b.should:
-                opt = self._union_sum([self._eval(s) for s in b.should])
-                base = (
-                    base.join(
-                        opt.withColumnRenamed("score", "opt_score"), "doc_id", "left"
-                    )
-                    .select(
-                        "doc_id",
-                        (
-                            F.col("score") + F.coalesce(F.col("opt_score"), F.lit(0.0))
-                        ).alias("score"),
-                    )
-                )
-        else:
-            base = self._union_sum([self._eval(s) for s in b.should])
-        for n in b.must_not:
-            base = base.join(
-                self._eval(n).select("doc_id"), "doc_id", "left_anti"
-            )
-        return base
+    def _empty_scores(self) -> DataFrame:
+        return self.scored.select("doc_id", "score").limit(0)
 
     # ---- public API --------------------------------------------------------
 

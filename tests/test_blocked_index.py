@@ -28,9 +28,57 @@ QUERIES = [
 
 
 def test_phrase_raises_on_blocked(spark, index):
+    # index built WITHOUT positions → phrase must fail loudly, not wrong
     eng = BlockedSearchEngine(spark, index)
     with pytest.raises(NotImplementedError):
         eng.search('"merge join"', 10)
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("blocked_idx_pos"))
+    bi = BlockedIndex(path)
+    bi.build(docs, fingerprint="sf0.001-v1", n_partitions=8, with_positions=True)
+    assert bi.has_positions
+    return bi
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        '"merge join"',                    # pure phrase
+        '"merge join" data',              # phrase OR term
+        '"merge join" AND data',          # phrase in a must
+        '-"merge join" data',             # phrase as must_not
+        "(merge OR join) AND data",       # nested boolean, no phrase
+    ],
+)
+def test_positions_index_matches_naive(spark, pos_index, naive, q):
+    eng = BlockedSearchEngine(spark, pos_index)
+    got = [(r["rank"], r["doc_id"], r["score"]) for r in eng.search(q, 10).collect()]
+    want = [(r["rank"], r["doc_id"], r["score"]) for r in naive.search(q, 10).collect()]
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want], q
+    for (_, _, gs), (_, _, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9), (q, gs, ws)
+
+
+def test_term_dictionary_invariants(spark, index, docs):
+    # df in the dictionary == docs containing the term (postings count)
+    td = index.terms(spark)
+    want = postings(docs).groupBy("term").agg(F.count("*").alias("df"))
+    joined = td.select("term", "df").join(
+        want.withColumnRenamed("df", "want_df"), "term", "full"
+    )
+    assert joined.filter(
+        F.col("df").isNull() | F.col("want_df").isNull()
+        | (F.col("df") != F.col("want_df"))
+    ).count() == 0
+    # gmax == max block_max_score over that term's blocks
+    gm = index.blocks(spark).groupBy("term").agg(
+        F.max("block_max_score").alias("want_g")
+    )
+    j2 = td.select("term", "gmax").join(gm, "term")
+    assert j2.filter(F.abs(F.col("gmax") - F.col("want_g")) > 1e-12).count() == 0
 
 
 @pytest.fixture(scope="module")

@@ -7,7 +7,11 @@ import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from bids_spark.operators.codec import decode_block, encode_block
+from bids_spark.operators.codec import (
+    decode_block,
+    decode_block_positions,
+    encode_block,
+)
 
 
 def roundtrip(docs, tfs, scores):
@@ -70,8 +74,72 @@ def test_roundtrip_property(doc_ids, data):
 
 
 def test_compression_ratio_dense():
-    # dense consecutive ids + tf=1 → ~2 B/posting + 8 B score
+    # dense consecutive ids + tf=1 → ~2 B/posting + 8 B score (+5 B header)
     docs = np.arange(10_000, 10_128, dtype=np.int64)
     tfs = np.ones(128, dtype=np.int64)
     payload = encode_block(docs, tfs, np.zeros(128))
-    assert len(payload) <= 4 + 127 * 1 + 128 * 1 + 128 * 8
+    assert len(payload) <= 5 + 127 * 1 + 128 * 1 + 128 * 8
+
+
+def roundtrip_pos(docs, tfs, scores, positions):
+    docs = np.asarray(docs, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    scores = np.asarray(scores, dtype=np.float64)
+    flat = np.asarray(positions, dtype=np.int64)
+    payload = encode_block(docs, tfs, scores, flat)
+    d, t, s, p = decode_block_positions(payload, int(docs[0]))
+    assert d.tolist() == docs.tolist()
+    assert t.tolist() == tfs.tolist()
+    assert s.tolist() == scores.tolist()
+    assert p.tolist() == flat.tolist()
+    # plain decode ignores positions but still reads the same block
+    d2, t2, s2 = decode_block(payload, int(docs[0]))
+    assert d2.tolist() == docs.tolist() and t2.tolist() == tfs.tolist()
+
+
+def test_positions_roundtrip_simple():
+    # two postings: tf=3 (positions 0,5,6) and tf=1 (position 2)
+    roundtrip_pos([10, 20], [3, 1], [0.5, 0.25], [0, 5, 6, 2])
+
+
+def test_positions_roundtrip_wide():
+    # position > 65535 forces 4-byte deltas
+    roundtrip_pos([1], [2], [1.0], [7, 100_000])
+
+
+def test_positions_absent():
+    payload = encode_block(
+        np.array([1, 2], dtype=np.int64),
+        np.array([1, 1], dtype=np.int64),
+        np.zeros(2),
+    )
+    _, _, _, p = decode_block_positions(payload, 1)
+    assert p is None
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    st.data(),
+)
+def test_positions_roundtrip_property(doc_ids, data):
+    doc_ids = sorted(doc_ids)
+    n = len(doc_ids)
+    tfs = data.draw(
+        st.lists(st.integers(min_value=1, max_value=6), min_size=n, max_size=n)
+    )
+    flat = []
+    for tf in tfs:
+        ps = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=10_000),
+                min_size=tf, max_size=tf, unique=True,
+            )
+        )
+        flat.extend(sorted(ps))
+    roundtrip_pos(doc_ids, tfs, [0.0] * n, flat)

@@ -53,7 +53,7 @@ def test_engine_matches_oracle_random(spark, seed, tmp_path):
     oracle = OracleIndex(dict(rows))
 
     bi = BlockedIndex(str(tmp_path / f"idx{seed}"))
-    bi.build(docs, fingerprint=f"prop{seed}", n_partitions=4)
+    bi.build(docs, fingerprint=f"prop{seed}", n_partitions=4, with_positions=True)
     beng = BlockedSearchEngine(spark, bi)
 
     for q in make_queries(seed):
@@ -63,11 +63,10 @@ def test_engine_matches_oracle_random(spark, seed, tmp_path):
         assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want], (seed, q)
         for (_, _, gs), (_, _, ws) in zip(got, want):
             assert math.isclose(gs, ws, rel_tol=1e-6), (seed, q)
-        # blocked path: only flat term queries (no phrase)
-        if '"' not in q:
-            bgot = [(r["rank"], r["doc_id"], r["score"])
-                    for r in beng.search(q, 10).collect()]
-            assert [(r, d) for r, d, _ in bgot] == [(r, d) for r, d, _ in want], (
-                seed, q, "blocked")
-            for (_, _, gs), (_, _, ws) in zip(bgot, want):
-                assert math.isclose(gs, ws, rel_tol=1e-6), (seed, q, "blocked")
+        # blocked path: ALL query shapes (positions-built index)
+        bgot = [(r["rank"], r["doc_id"], r["score"])
+                for r in beng.search(q, 10).collect()]
+        assert [(r, d) for r, d, _ in bgot] == [(r, d) for r, d, _ in want], (
+            seed, q, "blocked")
+        for (_, _, gs), (_, _, ws) in zip(bgot, want):
+            assert math.isclose(gs, ws, rel_tol=1e-6), (seed, q, "blocked")
