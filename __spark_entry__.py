@@ -39,6 +39,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and": C.q_bm25_and,
         "bm25_not": C.q_bm25_not,
         "bm25_phrase": C.q_bm25_phrase,
+        # same queries on the blocked/compressed (scale) path — same oracles
+        "bm25_or_blocked": C.q_bm25_or_blocked,
+        "bm25_and_blocked": C.q_bm25_and_blocked,
+        "bm25_phrase_blocked": C.q_bm25_phrase_blocked,
         # training-pipeline operators
         "token_count": C.q_token_count,
         "quality_score": C.q_quality_score,
@@ -70,6 +74,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and": C.bm25_topk_sql(must=["merge", "join"]),
         "bm25_not": C.bm25_topk_sql(should=["merge"], must_not=["join"]),
         "bm25_phrase": C.bm25_phrase_sql(["merge", "join"]),
+        "bm25_or_blocked": C.bm25_topk_sql(should=["merge", "join"]),
+        "bm25_and_blocked": C.bm25_topk_sql(must=["merge", "join"]),
+        "bm25_phrase_blocked": C.bm25_phrase_sql(["merge", "join"]),
         "token_count": C.SQL_TOKEN_COUNT,
         "quality_score": C.SQL_QUALITY,
         "lang_id": C.SQL_LANG_ID,

@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 
 from bids_spark.operators.blocked_index import BlockedIndex
 from bids_spark.operators.wand import BlockedSearchEngine
-from bids_spark.plans.planner import SearchEngine
 from bids_spark.session import get_spark
 from bids_spark.sources.replicate import replicated_corpus
 
@@ -39,8 +38,9 @@ BLOCKED_QUERIES = {
     "q_not": "merge -join",
     "q_head": "the",
     "q_or5": "data merge join sort window",
+    "q_phrase": '"merge join"',  # blocked path too (positions-built index)
 }
-PHRASE_QUERY = ("q_phrase", '"merge join"')
+QUERY_ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
 
 
 def main() -> None:
@@ -65,23 +65,27 @@ def main() -> None:
         t0 = time.time()
         bi = BlockedIndex(os.path.join(work, "idx"))
         man = bi.build(big, fingerprint=f"bench-{sf_dir}-{replicate}",
-                       n_partitions=cpus)
+                       n_partitions=cpus, with_positions=True)
         timings["build"] = time.time() - t0
         bstage = man["stages"]["blocks"]
 
         beng = BlockedSearchEngine(spark, bi, cache=True)
         # warm: file listing + parquet footers
         beng.search("data", 10).collect()
+        # per-query latency distribution (north rule: p50/p99)
+        all_lat: list[float] = []
         for name, q in BLOCKED_QUERIES.items():
-            t0 = time.time()
-            beng.search(q, 10).collect()
-            timings[name] = time.time() - t0
-
-        # phrase on the naive positions path at corpus scale (unreplicated)
-        neng = SearchEngine.from_documents(docs, cache=False)
-        t0 = time.time()
-        neng.search(PHRASE_QUERY[1], 10).collect()
-        timings[PHRASE_QUERY[0]] = time.time() - t0
+            lats = []
+            for _ in range(QUERY_ITERS):
+                t0 = time.time()
+                beng.search(q, 10).collect()
+                lats.append(time.time() - t0)
+            lats.sort()
+            timings[name] = lats[len(lats) // 2]  # per-query p50
+            all_lat.extend(lats)
+        all_lat.sort()
+        p50 = all_lat[len(all_lat) // 2]
+        p99 = all_lat[min(len(all_lat) - 1, int(len(all_lat) * 0.99))]
 
         total = sum(timings.values())
         print(
@@ -92,6 +96,11 @@ def main() -> None:
                     "unit": "sec",
                     "queries": {k: round(v, 3) for k, v in timings.items()},
                     "sf": sf,
+                    "latency": {
+                        "p50": round(p50, 3),
+                        "p99": round(p99, 3),
+                        "iters_per_query": QUERY_ITERS,
+                    },
                     "throughput": {
                         "n_docs": n_docs,
                         "docs_per_sec": round(n_docs / timings["build"], 1),

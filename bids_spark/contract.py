@@ -175,6 +175,61 @@ def q_bm25_phrase(spark, sf_dir):
     return _search(spark, sf_dir, '"merge join"')
 
 
+# ---- blocked (compressed, block-max pruned) path against the SAME
+# DuckDB oracles — certifies the scale path, not just the naive one.
+# The index builds once per sf_dir into a stable temp dir; the build is
+# resumable (manifest fingerprint), so repeat driver runs skip it.
+
+_BLOCKED_CACHE: dict[str, object] = {}
+
+
+def _blocked_index(spark: SparkSession, sf_dir: str):
+    import hashlib
+    import os
+    import tempfile
+
+    from bids_spark.operators.blocked_index import BlockedIndex
+
+    key = sf_dir.rstrip("/")
+    bi = _BLOCKED_CACHE.get(key)
+    if bi is None:
+        d = os.path.join(
+            tempfile.gettempdir(),
+            "bids_contract_idx_" + hashlib.md5(key.encode()).hexdigest()[:10],
+        )
+        bi = BlockedIndex(d)
+        bi.build(
+            load_documents(spark, sf_dir),
+            fingerprint=f"contract-{key}",
+            with_positions=True,
+        )
+        _BLOCKED_CACHE[key] = bi
+    return bi
+
+
+def _search_blocked(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
+    from bids_spark.operators.wand import BlockedSearchEngine
+
+    eng = BlockedSearchEngine(spark, _blocked_index(spark, sf_dir))
+    return eng.search(query, k).select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_bm25_or_blocked(spark, sf_dir):
+    return _search_blocked(spark, sf_dir, "merge join")
+
+
+def q_bm25_and_blocked(spark, sf_dir):
+    return _search_blocked(spark, sf_dir, "merge AND join")
+
+
+def q_bm25_phrase_blocked(spark, sf_dir):
+    return _search_blocked(spark, sf_dir, '"merge join"')
+
+
 SQL_TOKENIZE_TF = f"""
 WITH {_TOK_CTES}
 SELECT doc_id, term, tf FROM post

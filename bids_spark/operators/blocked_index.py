@@ -80,6 +80,13 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("max_doc", T.LongType()),
         T.StructField("block_max_score", T.DoubleType()),
         T.StructField("idf", T.DoubleType()),
+        # k-th largest single-term score over the whole term run — a
+        # build-time θ lower bound for top-k pruning (wand.py): any doc
+        # holding one of the k best scores of term t has total ≥ that
+        # score, so the k-th best total ≥ kth_score.  Repeated on every
+        # block of the run; the terms stage lifts it into the dictionary.
+        T.StructField("top10_score", T.DoubleType()),
+        T.StructField("top100_score", T.DoubleType()),
         T.StructField("payload", T.BinaryType()),
     ]
 )
@@ -132,6 +139,13 @@ def _block_encoder(with_positions: bool = False):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
 
+        def kth_largest(scores: np.ndarray, k: int) -> float:
+            # 0.0 (no bound) when the run holds fewer than k postings —
+            # the global k-th best may then come from other terms/runs
+            if len(scores) < k:
+                return 0.0
+            return float(np.partition(scores, len(scores) - k)[len(scores) - k])
+
         def encode_term_run(run: pd.DataFrame) -> pd.DataFrame:
             docs = run["doc_id"].to_numpy()
             tfs = run["tf"].to_numpy()
@@ -140,6 +154,8 @@ def _block_encoder(with_positions: bool = False):
             rows = []
             term = run["term"].iloc[0]
             idf = float(run["idf"].iloc[0])
+            s10 = kth_largest(scores, 10)
+            s100 = kth_largest(scores, 100)
             for s in range(0, len(docs), BLOCK_SIZE):
                 e = min(s + BLOCK_SIZE, len(docs))
                 flat = None
@@ -159,6 +175,8 @@ def _block_encoder(with_positions: bool = False):
                         int(docs[e - 1]),
                         float(scores[s:e].max()),
                         idf,
+                        s10,
+                        s100,
                         encode_block(docs[s:e], tfs[s:e], scores[s:e], flat),
                     )
                 )
@@ -166,7 +184,8 @@ def _block_encoder(with_positions: bool = False):
                 rows,
                 columns=[
                     "term", "n", "first_doc", "max_doc",
-                    "block_max_score", "idf", "payload",
+                    "block_max_score", "idf", "top10_score", "top100_score",
+                    "payload",
                 ],
             )
 
@@ -319,7 +338,11 @@ class BlockedIndex:
             self._mark(man, "stats", fingerprint, rows=1, seconds=time.time() - t0)
         stats = spark.read.parquet(self._dir("stats"))
 
-        if not self._stage_done(man, "blocks", fingerprint):
+        # blocks/terms carry a format tag so indexes written before a
+        # codec/schema change rebuild those stages (postings/doclens/
+        # stats are format-stable and stay resumable)
+        blk_fp = fingerprint + "#fmt2"
+        if not self._stage_done(man, "blocks", blk_fp):
             t0 = time.time()
             srow = stats.first()
             n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
@@ -356,6 +379,11 @@ class BlockedIndex:
                     "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
                 )
             )
+            # repartitionByRange SAMPLES its child to pick boundaries,
+            # which would execute the 3-way join twice — persist the
+            # enriched postings so sampling and the real shuffle share
+            # one materialization
+            enriched = enriched.persist()
             blocks = (
                 enriched.repartitionByRange(n_part, "bucket", "term", "doc_id")
                 .sortWithinPartitions("bucket", "term", "doc_id")
@@ -370,6 +398,7 @@ class BlockedIndex:
                 .partitionBy("bucket")
                 .parquet(self._dir("blocks"))
             )
+            enriched.unpersist()
             dt = time.time() - t0
             # ONE metrics job over the written blocks (not count+2 aggs)
             m = (
@@ -389,7 +418,7 @@ class BlockedIndex:
                 if s in man["stages"]
             )
             self._mark(
-                man, "blocks", fingerprint,
+                man, "blocks", blk_fp,
                 rows=int(m["n_blocks"]), seconds=dt, postings=n_postings,
                 compressed_bytes=comp_bytes,
                 n_docs=n_docs, n_buckets=n_buckets,
@@ -399,7 +428,7 @@ class BlockedIndex:
                 bytes_per_posting=comp_bytes / max(n_postings, 1),
             )
 
-        if not self._stage_done(man, "terms", fingerprint):
+        if not self._stage_done(man, "terms", blk_fp):
             # term dictionary (tantivy's .term files, SURVEY §2 D2):
             # one row per (bucket, term) with df, global max block score
             # and idf — lets a query resolve gmax/idf with a pruned scan
@@ -413,6 +442,12 @@ class BlockedIndex:
                     F.max("block_max_score").alias("gmax"),
                     F.first("idf").alias("idf"),
                     F.count("*").cast("int").alias("n_blocks"),
+                    # max of per-run partial k-th-largest scores: each is
+                    # ≤ the term's true s_k (range-split runs see subsets),
+                    # so the max is a valid θ lower bound — and the
+                    # tightest one available without a probe job
+                    F.max("top10_score").alias("s10"),
+                    F.max("top100_score").alias("s100"),
                 )
             )
             (
@@ -422,7 +457,7 @@ class BlockedIndex:
                 .partitionBy("bucket")
                 .parquet(self._dir("terms"))
             )
-            self._mark(man, "terms", fingerprint, seconds=time.time() - t0)
+            self._mark(man, "terms", blk_fp, seconds=time.time() - t0)
         return self._manifest()
 
     # ---- read side --------------------------------------------------------

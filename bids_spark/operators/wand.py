@@ -223,23 +223,13 @@ class BlockedSearchEngine(BooleanEvaluator):
 
     # -- scoring fast paths ---------------------------------------------------
 
-    def _topk_or_pruned(self, terms: list[str], k: int) -> DataFrame:
-        tb = self._term_blocks(terms)
-        if len(set(terms)) == 1:
-            # single term: prune condition is bm(b) ≥ θ directly — no
-            # term-dictionary lookup needed
-            gmax, gsum = {terms[0]: 0.0}, 0.0
-        else:
-            meta = self._term_meta(terms)
-            if not meta:
-                return self._empty()
-            gmax = {t: float(m["gmax"]) for t, m in meta.items()}
-            gsum = float(sum(gmax.values()))
-
-        # θ: decode only the highest-impact blocks per term (covering ≥k
-        # postings each), sum per doc — each per-doc partial sum is a
-        # valid lower bound on that doc's total, so the k-th best across
-        # DISTINCT docs lower-bounds the k-th best total.
+    def _probe_theta(self, tb: DataFrame, k: int) -> float:
+        """θ by probing: decode only the highest-impact blocks per term
+        (covering ≥k postings each), sum per doc — each per-doc partial
+        sum is a valid lower bound on that doc's total, so the k-th best
+        across DISTINCT docs lower-bounds the k-th best total.  Costs
+        one extra Spark job; tighter than the dictionary θ when top docs
+        match several query terms."""
         w = Window.partitionBy("term").orderBy(
             F.desc("block_max_score"), F.asc("first_doc")
         )
@@ -256,7 +246,33 @@ class BlockedSearchEngine(BooleanEvaluator):
             .limit(k)
             .collect()
         )
-        theta = float(probe_topk[-1]["s"]) if len(probe_topk) >= k else 0.0
+        return float(probe_topk[-1]["s"]) if len(probe_topk) >= k else 0.0
+
+    def _topk_or_pruned(
+        self, terms: list[str], k: int, theta_mode: str = "dict"
+    ) -> DataFrame:
+        tb = self._term_blocks(terms)
+        meta = self._term_meta(terms)  # one pruned scan of tiny rows
+        if not meta:
+            return self._empty()
+        if len(set(terms)) == 1:
+            # single term: prune condition is bm(b) ≥ θ directly
+            gmax, gsum = {terms[0]: 0.0}, 0.0
+        else:
+            gmax = {t: float(m["gmax"]) for t, m in meta.items()}
+            gsum = float(sum(gmax.values()))
+
+        # θ from the term dictionary — zero extra jobs: s_k(t) is (a
+        # lower bound on) the k-th best single-term score of t; every
+        # one of those ≥k docs has total ≥ its t-score, so the k-th best
+        # TOTAL ≥ max_t s_k(t).
+        theta = 0.0
+        if k <= 10:
+            theta = max(float(m["s10"] or 0.0) for m in meta.values())
+        elif k <= 100:
+            theta = max(float(m["s100"] or 0.0) for m in meta.values())
+        if theta_mode == "probe" or (theta == 0.0 and k > 100):
+            theta = max(theta, self._probe_theta(tb, k))
 
         # prune: drop block b iff  bm(b) + (gsum − gmax(term(b))) < θ
         gmax_df = F.broadcast(
@@ -277,9 +293,43 @@ class BlockedSearchEngine(BooleanEvaluator):
 
     def _topk_bool(self, must: list[str], should: list[str],
                    must_not: list[str], k: int) -> DataFrame:
-        pos_terms = list(dict.fromkeys(must + should))
-        scored = decode_blocks(self._term_blocks(pos_terms))
         must_set = sorted(set(must))
+        rarest_ranges = None
+        if must:
+            meta = self._term_meta(must_set)
+            if len(meta) < len(must_set):
+                # a must term with zero postings → the intersection is
+                # empty (Lucene semantics); skip all decode work
+                return self._empty()
+            # every candidate doc appears in the rarest must term's
+            # postings, so every relevant block of ANY term overlaps one
+            # of that term's (doc-ordered) block intervals — restrict
+            # all scans to those intervals (broadcast nested-loop
+            # semi-join on range overlap).  A doc d in the intersection
+            # sits in some rarest-block [lo,hi] and in each of its other
+            # term blocks [a,b] with a≤d≤b → the intervals overlap at d,
+            # so no contributing block is pruned: scores are exact.
+            rarest = min(must_set, key=lambda t: meta[t]["df"])
+            rarest_ranges = F.broadcast(
+                self._term_blocks([rarest])
+                .select(
+                    F.col("first_doc").alias("r_lo"),
+                    F.col("max_doc").alias("r_hi"),
+                )
+            )
+
+        def restrict(blocks: DataFrame) -> DataFrame:
+            if rarest_ranges is None:
+                return blocks
+            return blocks.join(
+                rarest_ranges,
+                (F.col("first_doc") <= F.col("r_hi"))
+                & (F.col("max_doc") >= F.col("r_lo")),
+                "left_semi",
+            )
+
+        pos_terms = list(dict.fromkeys(must + should))
+        scored = decode_blocks(restrict(self._term_blocks(pos_terms)))
         agg = scored.groupBy("doc_id").agg(
             F.sum("score").alias("score"),
             F.count_distinct(
@@ -290,9 +340,9 @@ class BlockedSearchEngine(BooleanEvaluator):
             agg = agg.filter(F.col("_nm") == len(must_set))
         agg = agg.select("doc_id", "score")
         if must_not:
-            neg = decode_blocks(self._term_blocks(list(set(must_not)))).select(
-                "doc_id"
-            ).distinct()
+            neg = decode_blocks(
+                restrict(self._term_blocks(list(set(must_not))))
+            ).select("doc_id").distinct()
             agg = agg.join(neg, "doc_id", "left_anti")
         return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -303,8 +353,20 @@ class BlockedSearchEngine(BooleanEvaluator):
 
     # -- public ---------------------------------------------------------------
 
-    def search(self, query: str, limit: int = 10, prune: bool = True) -> DataFrame:
-        """(rank, doc_id, score) top-k; rank-identical to SearchEngine."""
+    def search(
+        self,
+        query: str,
+        limit: int = 10,
+        prune: bool = True,
+        theta_mode: str = "dict",
+    ) -> DataFrame:
+        """(rank, doc_id, score) top-k; rank-identical to SearchEngine.
+
+        theta_mode: "dict" (default) takes θ from the term dictionary —
+        no probe job, 2 Spark jobs per query; "probe" additionally
+        decodes the top blocks per term for a tighter θ (fewer survivor
+        blocks) — right at cluster scale where decode I/O outweighs a
+        scheduling round-trip."""
         ast = parse_query(query)
         must, should, must_not = [], [], []
         flat = True
@@ -325,7 +387,7 @@ class BlockedSearchEngine(BooleanEvaluator):
             if not must and not should:
                 matches = self._empty()
             elif not must and not must_not and prune:
-                matches = self._topk_or_pruned(should, limit)
+                matches = self._topk_or_pruned(should, limit, theta_mode)
             else:
                 matches = self._topk_bool(must, should, must_not, limit)
         else:

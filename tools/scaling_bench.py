@@ -77,16 +77,26 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     replicate = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     corpus_dir = tempfile.mkdtemp(prefix="scaling_corpus_")
-    lo = run_level(n, sf_dir, replicate, corpus_dir)
-    hi = run_level(4 * n, sf_dir, replicate, corpus_dir)
+    # this box shows large transient noise (same build: 41 s vs 118 s
+    # minutes apart) — run each level `repeats`× INTERLEAVED and take
+    # the best per level, so drift hits both levels symmetrically
+    lows, highs = [], []
+    for _ in range(repeats):
+        lows.append(run_level(n, sf_dir, replicate, corpus_dir))
+        highs.append(run_level(4 * n, sf_dir, replicate, corpus_dir))
+    lo = min(lows, key=lambda r: r["build_sec"])
+    hi = min(highs, key=lambda r: r["build_sec"])
     import shutil
 
     shutil.rmtree(corpus_dir, ignore_errors=True)
     eff = (lo["build_sec"] / hi["build_sec"]) / 4.0
     print(json.dumps({
-        "N": n, "4N": 4 * n, "sf_dir": sf_dir,
+        "N": n, "4N": 4 * n, "sf_dir": sf_dir, "repeats": repeats,
         "low": lo, "high": hi,
+        "build_sec_all": {"low": [r["build_sec"] for r in lows],
+                          "high": [r["build_sec"] for r in highs]},
         "scaling_efficiency_build": round(eff, 3),
         "target": 0.8,
     }, indent=2))
