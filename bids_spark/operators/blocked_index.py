@@ -128,7 +128,7 @@ def spimi_partial_postings(docs: DataFrame, id_col="doc_id", text_col="text") ->
     )
 
 
-def _block_encoder(with_positions: bool = False):
+def _block_encoder(with_positions: bool = False, store_dl: bool = False):
     """Streaming block encoder over (term, doc_id, tf, idf, score
     [, positions]) batches sorted by (term, doc_id) within the
     partition.  Scores are already computed JVM-side (whole-stage
@@ -150,6 +150,7 @@ def _block_encoder(with_positions: bool = False):
             docs = run["doc_id"].to_numpy()
             tfs = run["tf"].to_numpy()
             scores = run["score"].to_numpy()
+            dls = run["dl"].to_numpy() if store_dl else None
             pos_cells = run["positions"] if with_positions else None
             rows = []
             term = run["term"].iloc[0]
@@ -177,7 +178,10 @@ def _block_encoder(with_positions: bool = False):
                         idf,
                         s10,
                         s100,
-                        encode_block(docs[s:e], tfs[s:e], scores[s:e], flat),
+                        encode_block(
+                            docs[s:e], tfs[s:e], scores[s:e], flat,
+                            dls[s:e] if dls is not None else None,
+                        ),
                     )
                 )
             return pd.DataFrame(
@@ -273,6 +277,7 @@ class BlockedIndex:
         tokenizer: str = "builtin",
         n_buckets: int = 8,
         with_positions: bool = False,
+        score_mode: str = "dl",
     ) -> dict:
         """Build all stages (resumable). Returns the manifest.
 
@@ -294,6 +299,13 @@ class BlockedIndex:
         (tantivy record:"position", meta.json:29) so phrase queries
         run on the blocked path; forces the builtin tokenizer and
         costs ~1 extra byte/occurrence in the payloads.
+
+        score_mode: "dl" (default) stores the doc length per posting
+        (1-2 B) and recomputes the exact float64 BM25 at decode —
+        ~3.5 B/posting; "f64" stores the precomputed impact score
+        (8 B/posting) for read-only decode.  Rank/score-identical
+        either way (codec.bm25_scores_np mirrors the Catalyst
+        expression operand-for-operand).
         """
         spark = docs.sparkSession
         man = self._manifest()
@@ -341,7 +353,7 @@ class BlockedIndex:
         # blocks/terms carry a format tag so indexes written before a
         # codec/schema change rebuild those stages (postings/doclens/
         # stats are format-stable and stay resumable)
-        blk_fp = fingerprint + "#fmt2"
+        blk_fp = fingerprint + f"#fmt3-{score_mode}"
         if not self._stage_done(man, "blocks", blk_fp):
             t0 = time.time()
             srow = stats.first()
@@ -369,6 +381,8 @@ class BlockedIndex:
                 )
             )
             cols = ["term", "doc_id", "tf", "idf", score.alias("score")]
+            if score_mode == "dl":
+                cols.append(F.col("dl"))
             if with_positions:
                 cols.append(F.col("positions"))
             enriched = (
@@ -387,7 +401,10 @@ class BlockedIndex:
             blocks = (
                 enriched.repartitionByRange(n_part, "bucket", "term", "doc_id")
                 .sortWithinPartitions("bucket", "term", "doc_id")
-                .mapInPandas(_block_encoder(with_positions), BLOCK_SCHEMA)
+                .mapInPandas(
+                    _block_encoder(with_positions, score_mode == "dl"),
+                    BLOCK_SCHEMA,
+                )
                 .withColumn(
                     "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
                 )
@@ -423,6 +440,8 @@ class BlockedIndex:
                 compressed_bytes=comp_bytes,
                 n_docs=n_docs, n_buckets=n_buckets,
                 with_positions=with_positions,
+                score_mode=score_mode,
+                avgdl=avgdl,
                 docs_per_sec=n_docs / max(build_total, 1e-9),
                 postings_per_sec=n_postings / max(build_total, 1e-9),
                 bytes_per_posting=comp_bytes / max(n_postings, 1),
@@ -476,6 +495,19 @@ class BlockedIndex:
     def has_positions(self) -> bool:
         st = self._manifest()["stages"].get("blocks", {})
         return bool(st.get("with_positions"))
+
+    @property
+    def score_mode(self) -> str:
+        st = self._manifest()["stages"].get("blocks", {})
+        return st.get("score_mode", "f64")
+
+    @property
+    def avgdl(self) -> float:
+        """Corpus avgdl recorded at build — no Spark job needed."""
+        st = self._manifest()["stages"].get("blocks", {})
+        if "avgdl" in st:
+            return float(st["avgdl"])
+        raise KeyError("manifest has no avgdl (pre-fmt3 index)")
 
     def stats(self, spark: SparkSession) -> tuple[int, float]:
         r = spark.read.parquet(self._dir("stats")).first()

@@ -8,11 +8,24 @@ over parquet `binary` cells.
 
 Format per block (little-endian):
 
-    [u16 n] [u8 width_delta] [u8 width_tf] [u8 width_pos]
+    [u16 n] [u8 width_delta] [u8 width_tf] [u8 width_pos] [u8 width_dl]
     [ (n-1) * width_delta bytes : doc-id gaps, gap-1 encoded ]
-    [ n     * width_tf    bytes : term frequencies ]
-    [ n * 8 bytes               : exact float64 per-posting BM25 score ]
+    [ n     * width_tf    bytes : term frequencies, tf-1 encoded ]
+    width_dl == 0 ("f64" score mode):
+      [ n * 8 bytes             : exact float64 per-posting BM25 score ]
+    width_dl > 0 ("dl" score mode):
+      [ n * width_dl bytes      : doc lengths, dl-1 encoded ]
     [ Σtf * width_pos bytes     : token positions, delta-in-posting ]   (iff width_pos > 0)
+
+Score modes: "f64" stores the precomputed per-posting impact (8 B) so
+decode is a pure read; "dl" stores the doc length instead (1-2 B
+typical) and decode recomputes score = idf·tf·(k1+1)/(tf+k1·(1−b+
+b·dl/avgdl)) in vectorized float64 with the SAME operand order as the
+build/naive Catalyst expression (functions/bm25.py) — IEEE-754
+elementwise ops are correctly rounded in both runtimes, so scores stay
+bit-identical while the index drops ~6.5 B/posting (the dominant cost
+at 10^12 docs).  idf rides on the sibling `idf` block column; avgdl is
+a corpus scalar from the build manifest.
 
 The positions section is optional (width_pos == 0 ⇒ absent) and
 mirrors tantivy's `.pos` files (record:"position",
@@ -59,16 +72,31 @@ def _width_for(max_val: int) -> int:
     return 8
 
 
+def bm25_scores_np(
+    tfs: np.ndarray, dls: np.ndarray, idf: float, avgdl: float,
+    k1: float = 1.2, b: float = 0.75,
+) -> np.ndarray:
+    """Vectorized float64 BM25 with the SAME operand order as the
+    Catalyst expression in functions/bm25.py — bit-identical results."""
+    tf_d = tfs.astype(np.float64)
+    dl_d = dls.astype(np.float64)
+    norm = tf_d + k1 * ((1.0 - b) + (b * dl_d) / avgdl)
+    return (idf * tf_d) * (k1 + 1.0) / norm
+
+
 def encode_block(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     scores: np.ndarray,
     positions: np.ndarray | None = None,
+    dls: np.ndarray | None = None,
 ) -> bytes:
     """doc_ids: sorted unique int64 (ascending), tfs: int64 ≥1,
     scores: float64 exact per-posting BM25; positions (optional): flat
     int array of length Σtf — the ascending token positions of posting
-    i occupy positions[Σtf[:i] : Σtf[:i+1]].
+    i occupy positions[Σtf[:i] : Σtf[:i+1]]; dls (optional): int64 doc
+    lengths ≥1 — when given, the block stores dl instead of the 8-byte
+    scores ("dl" score mode; decode recomputes them exactly).
 
     All gap math is done in uint64 (two's-complement reinterpretation),
     so negative xxhash64 doc ids and full-range gaps are safe.
@@ -96,35 +124,58 @@ def encode_block(
             deltas[starts] = flat[starts]
         wp = _width_for(int(deltas.max()) if len(deltas) else 0)
         pos_bytes = deltas.astype(_DTYPES[wp]).tobytes()
-    head = np.array([n], dtype="<u2").tobytes() + bytes([wd, wt, wp])
+    if dls is None:
+        wl = 0
+        score_bytes = scores.astype("<f8").tobytes()
+    else:
+        wl = _width_for(int(dls.max()) - 1)
+        score_bytes = (
+            (dls.astype(np.uint64) - np.uint64(1)).astype(_DTYPES[wl]).tobytes()
+        )
+    head = np.array([n], dtype="<u2").tobytes() + bytes([wd, wt, wp, wl])
     return (
         head
         + gaps.astype(_DTYPES[wd]).tobytes()
         + (tfs.astype(np.uint64) - np.uint64(1)).astype(_DTYPES[wt]).tobytes()
-        + scores.astype("<f8").tobytes()
+        + score_bytes
         + pos_bytes
     )
 
 
 def decode_block(
-    payload: bytes, first_doc: int
+    payload: bytes,
+    first_doc: int,
+    idf: float | None = None,
+    avgdl: float | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """→ (doc_ids int64 ascending, tfs int64, scores float64)."""
-    d, t, s, _ = _decode(payload, first_doc, want_positions=False)
+    """→ (doc_ids int64 ascending, tfs int64, scores float64).
+
+    For "dl"-mode blocks, `idf` and `avgdl` are required to recompute
+    the scores (exactly); f64-mode blocks ignore them."""
+    d, t, s, _p, dls = _decode(payload, first_doc, want_positions=False)
+    if s is None:
+        if idf is None or avgdl is None:
+            raise ValueError(
+                "dl-mode block: pass idf and avgdl to decode_block to "
+                "recompute scores"
+            )
+        s = bm25_scores_np(t, dls, float(idf), float(avgdl))
     return d, t, s
 
 
 def decode_block_positions(
     payload: bytes, first_doc: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
-    """→ (doc_ids, tfs, scores, flat positions or None if not stored)."""
-    return _decode(payload, first_doc, want_positions=True)
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None, np.ndarray | None]:
+    """→ (doc_ids, tfs, scores-or-None [dl-mode], flat positions or
+    None if not stored)."""
+    d, t, s, p, _dls = _decode(payload, first_doc, want_positions=True)
+    return d, t, s, p
 
 
 def _decode(payload: bytes, first_doc: int, want_positions: bool):
     n = int(np.frombuffer(payload[:2], dtype="<u2")[0])
-    wd, wt, wp = payload[2], payload[3], payload[4]
-    off = 5
+    wd, wt, wp, wl = payload[2], payload[3], payload[4], payload[5]
+    off = 6
     gaps = np.frombuffer(payload[off : off + (n - 1) * wd], dtype=_DTYPES[wd]).astype(
         np.uint64
     )
@@ -134,8 +185,19 @@ def _decode(payload: bytes, first_doc: int, want_positions: bool):
         + 1
     )
     off += n * wt
-    scores = np.frombuffer(payload[off : off + n * 8], dtype="<f8")
-    off += n * 8
+    scores = None
+    dls = None
+    if wl == 0:
+        scores = np.frombuffer(payload[off : off + n * 8], dtype="<f8").copy()
+        off += n * 8
+    else:
+        dls = (
+            np.frombuffer(payload[off : off + n * wl], dtype=_DTYPES[wl]).astype(
+                np.int64
+            )
+            + 1
+        )
+        off += n * wl
     docs_u = np.empty(n, dtype=np.uint64)
     docs_u[0] = np.int64(first_doc).astype(np.uint64)
     if n > 1:
@@ -152,4 +214,4 @@ def _decode(payload: bytes, first_doc: int, want_positions: bool):
         starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
         seg_base = c[starts] - deltas[starts]
         positions = c - np.repeat(seg_base, tfs)
-    return docs_u.view(np.int64).copy(), tfs, scores.copy(), positions
+    return docs_u.view(np.int64).copy(), tfs, scores, positions, dls

@@ -74,25 +74,34 @@ _DECODED_POS = T.StructType(
 )
 
 
-def _decode_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        if pdf.empty:
-            continue
-        terms, docs, scores = [], [], []
-        for term, first_doc, payload in zip(
-            pdf["term"], pdf["first_doc"], pdf["payload"]
-        ):
-            d, _tf, s = decode_block(bytes(payload), int(first_doc))
-            docs.append(d)
-            scores.append(s)
-            terms.append(np.full(len(d), term, dtype=object))
-        yield pd.DataFrame(
-            {
-                "term": np.concatenate(terms),
-                "doc_id": np.concatenate(docs),
-                "score": np.concatenate(scores),
-            }
-        )
+def _decode_udf(avgdl: float | None):
+    """Decoder closure: f64 blocks read stored scores; dl-mode blocks
+    recompute them from (tf, dl, idf column, avgdl) — bit-identical
+    (codec.bm25_scores_np)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            terms, docs, scores = [], [], []
+            for term, first_doc, payload, idf in zip(
+                pdf["term"], pdf["first_doc"], pdf["payload"], pdf["idf"]
+            ):
+                d, _tf, s = decode_block(
+                    bytes(payload), int(first_doc), idf=idf, avgdl=avgdl
+                )
+                docs.append(d)
+                scores.append(s)
+                terms.append(np.full(len(d), term, dtype=object))
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(docs),
+                    "score": np.concatenate(scores),
+                }
+            )
+
+    return gen
 
 
 def _decode_pos_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -124,10 +133,11 @@ def _decode_pos_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def decode_blocks(blocks: DataFrame) -> DataFrame:
-    """blocks(term, first_doc, payload, ...) → (term, doc_id, score)."""
-    return blocks.select("term", "first_doc", "payload").mapInPandas(
-        _decode_udf, _DECODED
+def decode_blocks(blocks: DataFrame, avgdl: float | None = None) -> DataFrame:
+    """blocks(term, first_doc, payload, idf, ...) → (term, doc_id,
+    score).  `avgdl` is required for dl-mode blocks."""
+    return blocks.select("term", "first_doc", "payload", "idf").mapInPandas(
+        _decode_udf(avgdl), _DECODED
     )
 
 
@@ -157,6 +167,10 @@ class BlockedSearchEngine(BooleanEvaluator):
         )
         self._stats_cache: tuple[int, float] | None = None
         self._doclens_cache: DataFrame | None = None
+        try:
+            self.avgdl: float | None = index.avgdl  # manifest — no job
+        except KeyError:
+            self.avgdl = None  # pre-fmt3 index: f64 blocks need no avgdl
         if cache:
             # hot-serving mode: in-memory columnar blocks; term filters
             # still prune via InMemoryTableScan batch stats
@@ -203,8 +217,11 @@ class BlockedSearchEngine(BooleanEvaluator):
 
     # -- BooleanEvaluator hooks (generic/nested path) ------------------------
 
+    def _decode(self, blocks: DataFrame) -> DataFrame:
+        return decode_blocks(blocks, self.avgdl)
+
     def _eval_term(self, t: Term) -> DataFrame:
-        return decode_blocks(self._term_blocks([t.term])).select("doc_id", "score")
+        return self._decode(self._term_blocks([t.term])).select("doc_id", "score")
 
     def _eval_phrase(self, p: Phrase) -> DataFrame:
         if not self.index.has_positions:
@@ -236,10 +253,10 @@ class BlockedSearchEngine(BooleanEvaluator):
         probe = (
             tb.withColumn("cum_n", F.sum("n").over(w))
             .filter(F.col("cum_n") - F.col("n") < k)
-            .select("term", "first_doc", "payload")
+            .select("term", "first_doc", "payload", "idf")
         )
         probe_topk = (
-            decode_blocks(probe)
+            self._decode(probe)
             .groupBy("doc_id")
             .agg(F.sum("score").alias("s"))
             .orderBy(F.desc("s"))
@@ -284,7 +301,7 @@ class BlockedSearchEngine(BooleanEvaluator):
             F.col("block_max_score") + (F.lit(gsum) - F.col("gmax")) >= F.lit(theta)
         )
         return (
-            decode_blocks(survivors)
+            self._decode(survivors)
             .groupBy("doc_id")
             .agg(F.sum("score").alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -329,7 +346,7 @@ class BlockedSearchEngine(BooleanEvaluator):
             )
 
         pos_terms = list(dict.fromkeys(must + should))
-        scored = decode_blocks(restrict(self._term_blocks(pos_terms)))
+        scored = self._decode(restrict(self._term_blocks(pos_terms)))
         agg = scored.groupBy("doc_id").agg(
             F.sum("score").alias("score"),
             F.count_distinct(
@@ -340,7 +357,7 @@ class BlockedSearchEngine(BooleanEvaluator):
             agg = agg.filter(F.col("_nm") == len(must_set))
         agg = agg.select("doc_id", "score")
         if must_not:
-            neg = decode_blocks(
+            neg = self._decode(
                 restrict(self._term_blocks(list(set(must_not))))
             ).select("doc_id").distinct()
             agg = agg.join(neg, "doc_id", "left_anti")

@@ -104,7 +104,7 @@ def test_spimi_equals_naive_postings(spark, docs):
 
 def test_blocks_roundtrip_postings(spark, docs, index):
     dec = (
-        decode_blocks(index.blocks(spark))
+        decode_blocks(index.blocks(spark), index.avgdl)
         .groupBy()
         .agg(F.count("*").alias("n"), F.countDistinct("term").alias("nt"))
         .first()

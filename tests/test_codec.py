@@ -74,11 +74,50 @@ def test_roundtrip_property(doc_ids, data):
 
 
 def test_compression_ratio_dense():
-    # dense consecutive ids + tf=1 → ~2 B/posting + 8 B score (+5 B header)
+    # dense consecutive ids + tf=1 → ~2 B/posting + 8 B score (+6 B header)
     docs = np.arange(10_000, 10_128, dtype=np.int64)
     tfs = np.ones(128, dtype=np.int64)
     payload = encode_block(docs, tfs, np.zeros(128))
-    assert len(payload) <= 5 + 127 * 1 + 128 * 1 + 128 * 8
+    assert len(payload) <= 6 + 127 * 1 + 128 * 1 + 128 * 8
+
+
+def test_dl_mode_roundtrip_and_size():
+    # dl mode: no 8-byte scores; decode recomputes them bit-exactly
+    from bids_spark.operators.codec import bm25_scores_np
+
+    docs = np.arange(0, 128, dtype=np.int64)
+    tfs = (np.arange(128, dtype=np.int64) % 5) + 1
+    dls = tfs + 40
+    idf, avgdl = 1.7350011354094463, 56.25
+    exact = bm25_scores_np(tfs, dls, idf, avgdl)
+    payload = encode_block(docs, tfs, exact, dls=dls)
+    # ~3 B/posting instead of ~10
+    assert len(payload) <= 6 + 127 * 1 + 128 * 1 + 128 * 1
+    d, t, s = decode_block(payload, 0, idf=idf, avgdl=avgdl)
+    assert d.tolist() == docs.tolist()
+    assert t.tolist() == tfs.tolist()
+    assert s.tolist() == exact.tolist()  # bit-exact float64
+
+
+def test_dl_mode_requires_stats():
+    docs = np.array([1], dtype=np.int64)
+    payload = encode_block(docs, np.array([1]), np.zeros(1), dls=np.array([7]))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_block(payload, 1)
+
+
+def test_dl_mode_with_positions():
+    docs = np.array([5, 9], dtype=np.int64)
+    tfs = np.array([2, 1], dtype=np.int64)
+    dls = np.array([10, 3], dtype=np.int64)
+    flat = np.array([0, 4, 2], dtype=np.int64)
+    payload = encode_block(docs, tfs, np.zeros(2), positions=flat, dls=dls)
+    d, t, s, p = decode_block_positions(payload, 5)
+    assert s is None  # dl-mode: caller scores via eval path
+    assert p.tolist() == flat.tolist()
+    assert d.tolist() == [5, 9] and t.tolist() == [2, 1]
 
 
 def roundtrip_pos(docs, tfs, scores, positions):
