@@ -4,6 +4,9 @@ Mirrors the reference CLI surface (/root/reference/bids/search.py):
 
     --initialise            reset the dataset            (search.py:97-98)
     --index DIR             index BIDS JSON docs in DIR  (search.py:99-103)
+                            — also builds the blocked compressed
+                            positional index (the tantivy-writer
+                            analogue); --search serves from it
     --index-parquet FILE    index a documents parquet (engine extension)
     --search QUERY          run a query                  (search.py:104-134)
     --results N             top-k (default 10)           (search.py:20)
@@ -89,6 +92,10 @@ def ingest_directory(spark: SparkSession, directory: str):
     )
 
 
+def _index_path() -> str:
+    return os.path.join(dataset_dir(), "index")
+
+
 def cmd_index(spark: SparkSession, directory: str | None, parquet: str | None) -> int:
     if parquet:
         docs = spark.read.parquet(parquet).select(
@@ -101,7 +108,19 @@ def cmd_index(spark: SparkSession, directory: str | None, parquet: str | None) -
             return 1
     mode = "append" if os.path.exists(_docs_path()) else "overwrite"
     docs.write.mode(mode).parquet(_docs_path())
-    n = spark.read.parquet(_docs_path()).count()
+    # build the real (blocked, compressed, positional) index at --index
+    # time, like the reference's tantivy writer (index.py:121-143);
+    # resumable via manifest.  Append ⇒ doc count changes ⇒ fingerprint
+    # changes ⇒ full rebuild (incremental path: streaming module).
+    from bids_spark.operators.blocked_index import BlockedIndex
+
+    all_docs = spark.read.parquet(_docs_path())
+    n = all_docs.count()
+    BlockedIndex(_index_path()).build(
+        all_docs.select("doc_id", "text"),
+        fingerprint=f"dataset-{n}",
+        with_positions=True,
+    )
     print(f"Indexed: dataset now holds {n} documents")
     return 0
 
@@ -110,11 +129,19 @@ def cmd_search(spark: SparkSession, query: str, limit: int) -> int:
     if not os.path.exists(_docs_path()):
         print("No dataset — run --index first", file=sys.stderr)
         return 1
-    from bids_spark.plans.planner import SearchEngine
-
     PAGE_SIZE = 10  # reference over-fetch (index.py:21,155-157)
     docs = spark.read.parquet(_docs_path())
-    eng = SearchEngine.from_documents(docs, cache=False)
+    if os.path.exists(os.path.join(_index_path(), "manifest.json")):
+        # serve from the prebuilt blocked index (the scale path)
+        from bids_spark.operators.blocked_index import BlockedIndex
+        from bids_spark.operators.wand import BlockedSearchEngine
+
+        eng = BlockedSearchEngine(spark, BlockedIndex(_index_path()))
+    else:
+        # datasets imported from older archives: score on the fly
+        from bids_spark.plans.planner import SearchEngine
+
+        eng = SearchEngine.from_documents(docs, cache=False)
     # reference quirk kept verbatim: over-fetch limit+PAGE_SIZE, drop
     # results whose CONTENT equals an earlier (higher-ranked) result,
     # truncate to limit (index.py:151-181)

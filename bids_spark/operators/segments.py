@@ -1,0 +1,250 @@
+r"""Segmented (append-only, incremental) blocked index — exact global BM25.
+
+The reference's index is segment-per-commit (tantivy: 3 segments × 2
+docs visible at /root/reference/playground/bids_index/meta.json:5-22;
+commits at bids/index.py:137-141), with background merges unifying
+segments.  This module is the Spark-native segment model: each append
+builds an independent BlockedIndex under ``root/seg-*`` and queries
+evaluate over the UNION of segments — no rebuild, no merge required
+for correctness.
+
+Why this is exact (and why it needs score_mode="dl"): BM25 has one
+corpus-dependent factor per term — idf(df, N) — plus avgdl.  Blocks in
+"dl" mode store only (tf, dl); scores are recomputed at decode from an
+idf column and avgdl scalar.  So the segmented engine:
+
+  * aggregates per-term df and per-segment (n_docs, Σdl) into GLOBAL
+    df/N/avgdl (term dictionaries are tiny, pruned scans);
+  * computes global idf with the same Catalyst ``log1p`` expression the
+    naive engine uses (a ≤|terms|-row local DataFrame — bit-identical
+    floats, no libm drift);
+  * substitutes the global idf into each segment's blocks before decode
+    → decoded scores are exactly the single-index scores;
+  * rescales each segment's pruning metadata by r = idf_g/idf_s (scores
+    are LINEAR in idf, so k-th-largest and block-max scale exactly);
+    upper bounds are nudged up and θ down by 4 ulps to keep the bounds
+    conservative under the two rounding steps of the rescale.
+
+Deletes remain out of scope (documented, SURVEY §2 C9); the streaming
+module's landing-dir ingest can feed ``add_segment`` per micro-batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bids_spark.operators.blocked_index import BlockedIndex
+from bids_spark.operators.wand import BlockedSearchEngine
+
+_UP = 1.0 + 4e-16   # one-sided ulp guards for rescaled bounds
+_DOWN = 1.0 - 4e-16
+
+
+class SegmentedIndex:
+    """Directory of independent BlockedIndex segments: root/seg-NNNN."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def segment_paths(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            os.path.join(self.root, d)
+            for d in os.listdir(self.root)
+            if d.startswith("seg-")
+        )
+
+    def segments(self) -> list[BlockedIndex]:
+        return [BlockedIndex(p) for p in self.segment_paths()]
+
+    def add_segment(
+        self, docs: DataFrame, fingerprint: str = "", **build_kwargs
+    ) -> BlockedIndex:
+        """Append a new immutable segment built from `docs` (the
+        analogue of a tantivy commit).  score_mode is forced to "dl"
+        (global rescoring needs tf+dl, not baked impacts)."""
+        build_kwargs["score_mode"] = "dl"
+        build_kwargs.setdefault("with_positions", True)
+        seg_dir = os.path.join(self.root, f"seg-{len(self.segment_paths()):04d}")
+        bi = BlockedIndex(seg_dir)
+        bi.build(docs, fingerprint=fingerprint or seg_dir, **build_kwargs)
+        return bi
+
+    def engine(self, spark: SparkSession, cache: bool = False):
+        segs = self.segments()
+        if len(segs) == 1:
+            return BlockedSearchEngine(spark, segs[0], cache=cache)
+        return SegmentedSearchEngine(spark, segs, cache=cache)
+
+
+class SegmentedSearchEngine(BlockedSearchEngine):
+    """BlockedSearchEngine over N segments with exact global scoring.
+
+    Reuses every query path of the parent (pruned OR, AND range
+    pruning, nested booleans, phrases) by overriding the three
+    primitives they consume: `_term_blocks` (idf-substituted union),
+    `_term_meta` (globally aggregated + rescaled), `_doclens`/`_stats`
+    (global)."""
+
+    def __init__(
+        self, spark: SparkSession, segments: list[BlockedIndex], cache: bool = False
+    ):
+        assert segments, "need at least one segment"
+        self.spark = spark
+        self.segs = segments
+        mans = [s._manifest()["stages"]["blocks"] for s in segments]
+        for m in mans:
+            if m.get("score_mode") != "dl":
+                raise ValueError(
+                    "segmented search requires score_mode='dl' segments "
+                    "(global idf substitution needs tf+dl payloads)"
+                )
+        self.n_buckets = int(mans[0]["n_buckets"])
+        if not all(int(m["n_buckets"]) == self.n_buckets for m in mans):
+            raise ValueError("segments disagree on n_buckets")
+        self._seg_has_pos = all(bool(m.get("with_positions")) for m in mans)
+        self.n_docs = int(sum(m["n_docs"] for m in mans))
+        self.avgdl = float(
+            sum(m["avgdl"] * m["n_docs"] for m in mans) / self.n_docs
+        )
+        self._seg_blocks = [s.blocks(spark) for s in segments]
+        self._seg_tdicts = [s.terms(spark) for s in segments]
+        self._stats_cache = (self.n_docs, self.avgdl)
+        self._doclens_cache = None
+        self._meta_cache: dict[tuple, dict] = {}
+        if cache:
+            self._seg_blocks = [b.cache() for b in self._seg_blocks]
+            self._seg_tdicts = [t.cache() for t in self._seg_tdicts]
+        # parent attributes not used directly by overridden paths
+        self.index = segments[0]
+        self.blocks = None
+        self.tdict = None
+
+    # -- global metadata ------------------------------------------------------
+
+    def _term_meta(self, terms: list[str]) -> dict[str, dict]:
+        """Global (df, idf, gmax, s10, s100) per term.
+
+        Per-segment dictionary rows are tiny pruned scans; global idf is
+        evaluated with the same Catalyst log1p expression as the naive
+        engine; per-segment bounds rescale by idf_g/idf_s (linear), with
+        one-sided ulp guards so they stay valid bounds."""
+        key = tuple(sorted(set(terms)))
+        if key in self._meta_cache:
+            return self._meta_cache[key]
+        per_seg: list[dict[str, dict]] = []
+        for td in self._seg_tdicts:
+            df_rows = (
+                self._bucket_filter(td, list(key))
+                .filter(F.col("term").isin(list(key)))
+                .collect()
+            )
+            per_seg.append({r["term"]: r.asDict() for r in df_rows})
+        df_g: dict[str, int] = {}
+        for seg in per_seg:
+            for t, m in seg.items():
+                df_g[t] = df_g.get(t, 0) + int(m["df"])
+        if not df_g:
+            self._meta_cache[key] = {}
+            return {}
+        # global idf via the Catalyst expression (bit-identical to the
+        # naive engine's idf_expr) — a ≤|terms|-row local job
+        from bids_spark.functions.bm25 import idf_expr
+
+        idf_rows = (
+            self.spark.createDataFrame(
+                [(t, d) for t, d in df_g.items()], ["term", "df"]
+            )
+            .select(
+                "term", idf_expr(F.col("df"), F.lit(self.n_docs)).alias("idf")
+            )
+            .collect()
+        )
+        idf_g = {r["term"]: float(r["idf"]) for r in idf_rows}
+        out: dict[str, dict] = {}
+        for t in df_g:
+            gmax = s10 = s100 = 0.0
+            for seg in per_seg:
+                m = seg.get(t)
+                if not m:
+                    continue
+                r = idf_g[t] / float(m["idf"]) if m["idf"] else 0.0
+                gmax = max(gmax, float(m["gmax"]) * r * _UP)
+                s10 = max(s10, float(m["s10"] or 0.0) * r * _DOWN)
+                s100 = max(s100, float(m["s100"] or 0.0) * r * _DOWN)
+            out[t] = {
+                "term": t, "df": df_g[t], "idf": idf_g[t],
+                "gmax": gmax, "s10": s10, "s100": s100,
+            }
+        self._meta_cache[key] = out
+        return out
+
+    # -- blocks view with global idf / rescaled bounds ------------------------
+
+    def _term_blocks(self, terms: list[str]) -> DataFrame:
+        meta = self._term_meta(terms)
+        if not meta:
+            # empty but schema-correct frame
+            base = self._seg_blocks[0]
+            return base.filter(F.lit(False))
+        idf_map = F.broadcast(
+            self.spark.createDataFrame(
+                [(t, m["idf"]) for t, m in meta.items()], ["term", "idf_g"]
+            )
+        )
+        parts = []
+        for blocks in self._seg_blocks:
+            tb = self._bucket_filter(blocks, terms).filter(
+                F.col("term").isin(terms)
+            )
+            # substitute global idf; rescale the pruning bound by the
+            # linear idf ratio (+ulp guard).  Decode then recomputes
+            # scores with idf_g → exactly the single-index scores.
+            tb = (
+                tb.join(idf_map, "term")
+                .withColumn(
+                    "block_max_score",
+                    F.col("block_max_score")
+                    * (F.col("idf_g") / F.col("idf"))
+                    * F.lit(_UP),
+                )
+                .drop("idf")
+                .withColumnRenamed("idf_g", "idf")
+            )
+            parts.append(tb)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -- overridden plumbing ---------------------------------------------------
+
+    def _doclens(self) -> DataFrame:
+        if self._doclens_cache is None:
+            dfs = [s.doclens(self.spark) for s in self.segs]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            self._doclens_cache = out
+        return self._doclens_cache
+
+    def _stats(self) -> tuple[int, float]:
+        return self._stats_cache
+
+    def _eval_phrase(self, p):
+        if not self._seg_has_pos:
+            raise NotImplementedError(
+                "all segments must be built with_positions=True for "
+                "phrase queries"
+            )
+        from bids_spark.operators.wand import decode_blocks_positions
+        from bids_spark.plans.planner import eval_phrase
+
+        uniq = list(dict.fromkeys(p.terms))
+        decoded = decode_blocks_positions(self._term_blocks(uniq))
+        n_docs, avgdl = self._stats()
+        return eval_phrase(decoded, self._doclens(), n_docs, avgdl, p)

@@ -62,6 +62,25 @@ def test_positions_index_matches_naive(spark, pos_index, naive, q):
         assert math.isclose(gs, ws, rel_tol=1e-9), (q, gs, ws)
 
 
+def test_term_scan_pruning_in_plan(spark, index):
+    """D2: a term lookup must prune at the directory level (bucket
+    PartitionFilters) AND push the term predicate to the parquet scan
+    (PushedFilters) — asserted on the physical plan, not assumed."""
+    eng = BlockedSearchEngine(spark, index)
+    plan = (
+        eng._term_blocks(["data"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    # bucket filter must actually reach the partition pruning slot
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "bucket" in pf, pf
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "term" in pushed and ("In(" in pushed or "EqualTo(" in pushed), pushed
+
+
 def test_term_dictionary_invariants(spark, index, docs):
     # df in the dictionary == docs containing the term (postings count)
     td = index.terms(spark)
