@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or_blocked": C.q_bm25_or_blocked,
         "bm25_and_blocked": C.q_bm25_and_blocked,
         "bm25_phrase_blocked": C.q_bm25_phrase_blocked,
+        "bm25_or_segmented": C.q_bm25_or_segmented,
         # training-pipeline operators
         "token_count": C.q_token_count,
         "quality_score": C.q_quality_score,
@@ -77,6 +78,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or_blocked": C.bm25_topk_sql(should=["merge", "join"]),
         "bm25_and_blocked": C.bm25_topk_sql(must=["merge", "join"]),
         "bm25_phrase_blocked": C.bm25_phrase_sql(["merge", "join"]),
+        "bm25_or_segmented": C.bm25_topk_sql(should=["merge", "join"]),
         "token_count": C.SQL_TOKEN_COUNT,
         "quality_score": C.SQL_QUALITY,
         "lang_id": C.SQL_LANG_ID,

@@ -222,6 +222,34 @@ def q_bm25_or_blocked(spark, sf_dir):
     return _search_blocked(spark, sf_dir, "merge join")
 
 
+def q_bm25_or_segmented(spark, sf_dir):
+    """Same oracle as bm25_or, served from a 2-segment append-only
+    index (operators/segments.py) — certifies exact global BM25 over
+    independently built segments."""
+    import hashlib
+    import os
+    import tempfile
+
+    from bids_spark.operators.segments import SegmentedIndex
+
+    key = sf_dir.rstrip("/") + "#seg"
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "bids_contract_seg_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    si = SegmentedIndex(root)
+    if len(si.segment_paths()) < 2:
+        docs = load_documents(spark, sf_dir)
+        si.add_segment(docs.filter(F.col("doc_id") % 2 == 0), fingerprint="even")
+        si.add_segment(docs.filter(F.col("doc_id") % 2 == 1), fingerprint="odd")
+    eng = si.engine(spark)
+    return eng.search("merge join", 10).select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_bm25_and_blocked(spark, sf_dir):
     return _search_blocked(spark, sf_dir, "merge AND join")
 
