@@ -400,6 +400,12 @@ class BlockedSearchEngine(BooleanEvaluator):
                 must.extend(m.term for m in node.must)
             else:
                 flat = False
+        # Lucene/tantivy score PER CLAUSE: "data data" sums the term's
+        # score twice.  The flat fast paths dedup terms (isin), so a
+        # repeated term must take the clause-wise generic path.
+        if len(must) + len(should) != len(set(must) | set(should)) or \
+                len(must_not) != len(set(must_not)):
+            flat = False
         if flat:
             if not must and not should:
                 matches = self._empty()

@@ -24,6 +24,9 @@ QUERIES = [
     "the",                 # head term
     "data merge join sort window",  # many-term OR
     "zzzmissing",          # no-hit (single token)
+    "data data",           # duplicate clause → term scored twice
+    "data AND data",       # duplicate must clause
+    "merge +merge join",   # same term as must and should
 ]
 
 
