@@ -162,6 +162,24 @@ def test_pruned_equals_unpruned(spark, index, q):
     assert a == b
 
 
+@pytest.mark.parametrize("q", ["data", "merge join"])
+def test_probe_theta_mode_identical(spark, index, q):
+    eng = BlockedSearchEngine(spark, index)
+    a = [(r["rank"], r["doc_id"]) for r in
+         eng.search(q, 10, theta_mode="dict").collect()]
+    b = [(r["rank"], r["doc_id"]) for r in
+         eng.search(q, 10, theta_mode="probe").collect()]
+    assert a == b
+
+
+def test_large_k_probe_fallback(spark, index, naive):
+    # k > 100 → dictionary θ unavailable → probe fallback; still exact
+    eng = BlockedSearchEngine(spark, index)
+    got = [(r["rank"], r["doc_id"]) for r in eng.search("the", 150).collect()]
+    want = [(r["rank"], r["doc_id"]) for r in naive.search("the", 150).collect()]
+    assert got == want
+
+
 def test_resume_skips_done_stages(spark, docs, tmp_path):
     path = str(tmp_path / "idx")
     bi = BlockedIndex(path)
