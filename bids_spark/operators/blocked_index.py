@@ -353,7 +353,7 @@ class BlockedIndex:
         # blocks/terms carry a format tag so indexes written before a
         # codec/schema change rebuild those stages (postings/doclens/
         # stats are format-stable and stay resumable)
-        blk_fp = fingerprint + f"#fmt3-{score_mode}"
+        blk_fp = fingerprint + f"#fmt4-{score_mode}"
         if not self._stage_done(man, "blocks", blk_fp):
             t0 = time.time()
             srow = stats.first()

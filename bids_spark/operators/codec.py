@@ -8,14 +8,24 @@ over parquet `binary` cells.
 
 Format per block (little-endian):
 
-    [u16 n] [u8 width_delta] [u8 width_tf] [u8 width_pos] [u8 width_dl]
+    [u16 n] [u8 width_delta] [u8 width_tf] [u8 width_pos_first]
+    [u8 width_pos_delta] [u8 width_dl]
     [ (n-1) * width_delta bytes : doc-id gaps, gap-1 encoded ]
     [ n     * width_tf    bytes : term frequencies, tf-1 encoded ]
     width_dl == 0 ("f64" score mode):
       [ n * 8 bytes             : exact float64 per-posting BM25 score ]
     width_dl > 0 ("dl" score mode):
       [ n * width_dl bytes      : doc lengths, dl-1 encoded ]
-    [ Σtf * width_pos bytes     : token positions, delta-in-posting ]   (iff width_pos > 0)
+    iff width_pos_first > 0 (positions recorded):
+      [ n * width_pos_first bytes        : first position per posting ]
+      [ (Σtf−n) * width_pos_delta bytes  : remaining within-posting
+                                           deltas, posting order ]
+
+    First-occurrence positions and within-posting deltas get separate
+    widths: at web-scale doc lengths the first position needs 2 bytes
+    (absolute token offset, up to dl) while subsequent gaps are almost
+    always <256 → 1 byte, saving ~1 byte per repeat occurrence over a
+    single uniform width.
 
 Score modes: "f64" stores the precomputed per-posting impact (8 B) so
 decode is a pure read; "dl" stores the doc length instead (1-2 B
@@ -109,21 +119,25 @@ def encode_block(
     wd = _width_for(int(gaps.max()) if n > 1 else 0)
     wt = _width_for(int(tfs.max()) - 1)
     pos_bytes = b""
-    wp = 0
+    wpf = wpd = 0
     if positions is not None:
         flat = np.asarray(positions, dtype=np.int64)
         assert len(flat) == int(tfs.sum())
-        # delta within each posting: first position absolute, rest diffs
-        deltas = np.empty_like(flat)
-        if len(flat):
-            deltas[0] = flat[0]
-            deltas[1:] = flat[1:] - flat[:-1]
-            starts = np.concatenate(
-                ([0], np.cumsum(tfs.astype(np.int64))[:-1])
-            ).astype(np.int64)
-            deltas[starts] = flat[starts]
-        wp = _width_for(int(deltas.max()) if len(deltas) else 0)
-        pos_bytes = deltas.astype(_DTYPES[wp]).tobytes()
+        starts = np.concatenate(
+            ([0], np.cumsum(tfs.astype(np.int64))[:-1])
+        ).astype(np.int64)
+        firsts = flat[starts]
+        # within-posting deltas for non-first occurrences
+        deltas = flat[1:] - flat[:-1]
+        mask = np.ones(len(flat), dtype=bool)
+        mask[starts] = False
+        rest = deltas[mask[1:]] if len(flat) > 1 else np.empty(0, np.int64)
+        wpf = _width_for(int(firsts.max()) if len(firsts) else 0)
+        wpd = _width_for(int(rest.max()) if len(rest) else 0)
+        pos_bytes = (
+            firsts.astype(_DTYPES[wpf]).tobytes()
+            + rest.astype(_DTYPES[wpd]).tobytes()
+        )
     if dls is None:
         wl = 0
         score_bytes = scores.astype("<f8").tobytes()
@@ -132,7 +146,7 @@ def encode_block(
         score_bytes = (
             (dls.astype(np.uint64) - np.uint64(1)).astype(_DTYPES[wl]).tobytes()
         )
-    head = np.array([n], dtype="<u2").tobytes() + bytes([wd, wt, wp, wl])
+    head = np.array([n], dtype="<u2").tobytes() + bytes([wd, wt, wpf, wpd, wl])
     return (
         head
         + gaps.astype(_DTYPES[wd]).tobytes()
@@ -174,8 +188,10 @@ def decode_block_positions(
 
 def _decode(payload: bytes, first_doc: int, want_positions: bool):
     n = int(np.frombuffer(payload[:2], dtype="<u2")[0])
-    wd, wt, wp, wl = payload[2], payload[3], payload[4], payload[5]
-    off = 6
+    wd, wt, wpf, wpd, wl = (
+        payload[2], payload[3], payload[4], payload[5], payload[6],
+    )
+    off = 7
     gaps = np.frombuffer(payload[off : off + (n - 1) * wd], dtype=_DTYPES[wd]).astype(
         np.uint64
     )
@@ -204,14 +220,23 @@ def _decode(payload: bytes, first_doc: int, want_positions: bool):
         with np.errstate(over="ignore"):
             docs_u[1:] = docs_u[0] + np.cumsum(gaps + np.uint64(1))
     positions = None
-    if want_positions and wp:
+    if want_positions and wpf:
         total = int(tfs.sum())
-        deltas = np.frombuffer(
-            payload[off : off + total * wp], dtype=_DTYPES[wp]
+        starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+        firsts = np.frombuffer(
+            payload[off : off + n * wpf], dtype=_DTYPES[wpf]
         ).astype(np.int64)
+        off += n * wpf
+        rest = np.frombuffer(
+            payload[off : off + (total - n) * wpd], dtype=_DTYPES[wpd]
+        ).astype(np.int64) if total > n else np.empty(0, np.int64)
+        deltas = np.empty(total, dtype=np.int64)
+        mask = np.ones(total, dtype=bool)
+        mask[starts] = False
+        deltas[starts] = firsts
+        deltas[mask] = rest
         # invert the per-posting delta: cumsum, then rebase each posting
         c = np.cumsum(deltas)
-        starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
         seg_base = c[starts] - deltas[starts]
         positions = c - np.repeat(seg_base, tfs)
     return docs_u.view(np.int64).copy(), tfs, scores, positions, dls

@@ -74,11 +74,11 @@ def test_roundtrip_property(doc_ids, data):
 
 
 def test_compression_ratio_dense():
-    # dense consecutive ids + tf=1 → ~2 B/posting + 8 B score (+6 B header)
+    # dense consecutive ids + tf=1 → ~2 B/posting + 8 B score (+7 B header)
     docs = np.arange(10_000, 10_128, dtype=np.int64)
     tfs = np.ones(128, dtype=np.int64)
     payload = encode_block(docs, tfs, np.zeros(128))
-    assert len(payload) <= 6 + 127 * 1 + 128 * 1 + 128 * 8
+    assert len(payload) <= 7 + 127 * 1 + 128 * 1 + 128 * 8
 
 
 def test_dl_mode_roundtrip_and_size():
@@ -92,7 +92,7 @@ def test_dl_mode_roundtrip_and_size():
     exact = bm25_scores_np(tfs, dls, idf, avgdl)
     payload = encode_block(docs, tfs, exact, dls=dls)
     # ~3 B/posting instead of ~10
-    assert len(payload) <= 6 + 127 * 1 + 128 * 1 + 128 * 1
+    assert len(payload) <= 7 + 127 * 1 + 128 * 1 + 128 * 1
     d, t, s = decode_block(payload, 0, idf=idf, avgdl=avgdl)
     assert d.tolist() == docs.tolist()
     assert t.tolist() == tfs.tolist()
