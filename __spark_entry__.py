@@ -24,8 +24,10 @@ from bids_spark import contract as C  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for the default-OR query "merge join"
-    over /root/testdata/sf0.001/documents.parquet."""
-    return C._search(spark, "/root/testdata/sf0.001", "merge join", 10)
+    over /root/testdata/sf0.001/documents.parquet, served from the
+    blocked compressed positional index (the scale path; build is
+    cached/resumable across invocations)."""
+    return C._search_blocked(spark, "/root/testdata/sf0.001", "merge join", 10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

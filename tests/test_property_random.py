@@ -12,6 +12,7 @@ import random
 import pytest
 
 from bids_spark.operators.blocked_index import BlockedIndex
+from bids_spark.operators.segments import SegmentedIndex
 from bids_spark.operators.wand import BlockedSearchEngine
 from bids_spark.oracle import OracleIndex
 from bids_spark.plans.planner import SearchEngine
@@ -56,6 +57,13 @@ def test_engine_matches_oracle_random(spark, seed, tmp_path):
     bi.build(docs, fingerprint=f"prop{seed}", n_partitions=4, with_positions=True)
     beng = BlockedSearchEngine(spark, bi)
 
+    si = SegmentedIndex(str(tmp_path / f"seg{seed}"))
+    si.add_segment(docs.filter(docs.doc_id % 3 == 0), fingerprint=f"s0-{seed}",
+                   n_partitions=2)
+    si.add_segment(docs.filter(docs.doc_id % 3 != 0), fingerprint=f"s1-{seed}",
+                   n_partitions=2)
+    seng = si.engine(spark)
+
     for q in make_queries(seed):
         want = oracle.search(q, 10)
         got = [(r["rank"], r["doc_id"], r["score"])
@@ -70,3 +78,10 @@ def test_engine_matches_oracle_random(spark, seed, tmp_path):
             seed, q, "blocked")
         for (_, _, gs), (_, _, ws) in zip(bgot, want):
             assert math.isclose(gs, ws, rel_tol=1e-6), (seed, q, "blocked")
+        # segmented (2 independently-built segments, global scoring)
+        sgot = [(r["rank"], r["doc_id"], r["score"])
+                for r in seng.search(q, 10).collect()]
+        assert [(r, d) for r, d, _ in sgot] == [(r, d) for r, d, _ in want], (
+            seed, q, "segmented")
+        for (_, _, gs), (_, _, ws) in zip(sgot, want):
+            assert math.isclose(gs, ws, rel_tol=1e-6), (seed, q, "segmented")
