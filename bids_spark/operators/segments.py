@@ -247,4 +247,7 @@ class SegmentedSearchEngine(BlockedSearchEngine):
         uniq = list(dict.fromkeys(p.terms))
         decoded = decode_blocks_positions(self._term_blocks(uniq))
         n_docs, avgdl = self._stats()
-        return eval_phrase(decoded, self._doclens(), n_docs, avgdl, p)
+        idf_sum = sum(float(m["idf"]) for m in self._term_meta(uniq).values())
+        return eval_phrase(
+            decoded, self._doclens(), n_docs, avgdl, p, idf_sum=idf_sum
+        )

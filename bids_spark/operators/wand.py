@@ -233,7 +233,11 @@ class BlockedSearchEngine(BooleanEvaluator):
         uniq = list(dict.fromkeys(p.terms))
         decoded = decode_blocks_positions(self._term_blocks(uniq))
         n_docs, avgdl = self._stats()
-        return eval_phrase(decoded, self._doclens(), n_docs, avgdl, p)
+        # phrase idf = Σ distinct member idfs — from the term dictionary
+        idf_sum = sum(float(m["idf"]) for m in self._term_meta(uniq).values())
+        return eval_phrase(
+            decoded, self._doclens(), n_docs, avgdl, p, idf_sum=idf_sum
+        )
 
     def _empty_scores(self) -> DataFrame:
         return self._empty()

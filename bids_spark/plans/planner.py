@@ -46,6 +46,7 @@ def eval_phrase(
     n_docs: int,
     avgdl: float,
     p: Phrase,
+    idf_sum: float | None = None,
 ) -> DataFrame:
     """(doc_id, score) for docs where p.terms occur consecutively.
 
@@ -81,23 +82,28 @@ def eval_phrase(
             .filter(F.size("ends") > 0)
         )
     phrase_tf = cur.select("doc_id", F.size("ends").alias("tf"))
-    # idf of the phrase = sum of member-term idfs
-    dfs = (
-        postings_pos.filter(F.col("term").isin(list(p.terms)))
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .select(idf_expr(F.col("df"), F.lit(n_docs)).alias("idf"))
-        .agg(F.sum("idf").alias("idf"))
-    )
-    return (
-        phrase_tf.join(doclens_df, "doc_id")
-        .crossJoin(F.broadcast(dfs))
-        .select(
-            "doc_id",
-            bm25_term_score(
-                F.col("tf"), F.col("dl"), F.lit(avgdl), F.col("idf")
-            ).alias("score"),
+    # idf of the phrase = sum of DISTINCT member-term idfs (Lucene
+    # phrase scoring).  A caller with a term dictionary (blocked/
+    # segmented engines) passes the precomputed sum via `idf_sum`,
+    # skipping the df sub-aggregation.
+    if idf_sum is not None:
+        idf_col = F.lit(float(idf_sum))
+        scored = phrase_tf.join(doclens_df, "doc_id")
+    else:
+        dfs = (
+            postings_pos.filter(F.col("term").isin(list(p.terms)))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .select(idf_expr(F.col("df"), F.lit(n_docs)).alias("idf"))
+            .agg(F.sum("idf").alias("idf"))
         )
+        idf_col = F.col("idf")
+        scored = phrase_tf.join(doclens_df, "doc_id").crossJoin(F.broadcast(dfs))
+    return scored.select(
+        "doc_id",
+        bm25_term_score(
+            F.col("tf"), F.col("dl"), F.lit(avgdl), idf_col
+        ).alias("score"),
     )
 
 
