@@ -62,14 +62,26 @@ class SegmentedIndex:
         return [BlockedIndex(p) for p in self.segment_paths()]
 
     def add_segment(
-        self, docs: DataFrame, fingerprint: str = "", **build_kwargs
+        self,
+        docs: DataFrame,
+        fingerprint: str = "",
+        name: str | None = None,
+        **build_kwargs,
     ) -> BlockedIndex:
         """Append a new immutable segment built from `docs` (the
         analogue of a tantivy commit).  score_mode is forced to "dl"
-        (global rescoring needs tf+dl, not baked impacts)."""
+        (global rescoring needs tf+dl, not baked impacts).
+
+        `name`: explicit segment name (e.g. "seg-batch-7") for
+        idempotent writers — a retried streaming micro-batch reuses the
+        same directory and the build manifest makes the re-run a no-op
+        (exactly-once)."""
         build_kwargs["score_mode"] = "dl"
         build_kwargs.setdefault("with_positions", True)
-        seg_dir = os.path.join(self.root, f"seg-{len(self.segment_paths()):04d}")
+        if name is None:
+            name = f"seg-{len(self.segment_paths()):04d}"
+        assert name.startswith("seg-")
+        seg_dir = os.path.join(self.root, name)
         bi = BlockedIndex(seg_dir)
         bi.build(docs, fingerprint=fingerprint or seg_dir, **build_kwargs)
         return bi

@@ -91,3 +91,56 @@ class IncrementalIndexer:
             F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
         )
         return SearchEngine(postings, doclens, stats, cache=False)
+
+
+class SegmentedStreamIndexer:
+    """Streaming ingest into the COMPRESSED segmented index: each
+    micro-batch commit builds one immutable blocked segment
+    (operators/segments.py) — the exact Spark analogue of the
+    reference's commit-per-batch writer (bids/index.py:137-141, one
+    tantivy segment per commit).
+
+    Exactly-once: segments are named by batch_id, so a foreachBatch
+    retry reuses the same directory and the segment's build manifest
+    turns the re-run into a no-op; the stream checkpoint makes file
+    discovery exactly-once.  `engine()` picks up all committed
+    segments — the reader-reload-per-search semantics of D11."""
+
+    def __init__(self, out_dir: str, n_partitions: int | None = None):
+        from bids_spark.operators.segments import SegmentedIndex
+
+        self.out_dir = out_dir
+        self.seg_index = SegmentedIndex(os.path.join(out_dir, "segments"))
+        self.checkpoint = os.path.join(out_dir, "_checkpoint")
+        self.n_partitions = n_partitions
+
+    def start(self, spark: SparkSession, landing_dir: str,
+              schema: T.StructType = DOC_SCHEMA, available_now: bool = True,
+              max_files_per_trigger: int | None = None):
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(landing_dir)
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.persist()
+            try:
+                self.seg_index.add_segment(
+                    batch_df,
+                    fingerprint=f"batch-{batch_id}",
+                    name=f"seg-batch-{batch_id:06d}",
+                    n_partitions=self.n_partitions,
+                )
+            finally:
+                batch_df.unpersist()
+
+        writer = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", self.checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def engine(self, spark: SparkSession, cache: bool = False):
+        return self.seg_index.engine(spark, cache=cache)

@@ -66,3 +66,43 @@ def test_incremental_equals_batch(spark, landing_and_idx):
         b = [(r["rank"], r["doc_id"], round(r["score"], 9))
              for r in batch.search(q, 10).collect()]
         assert a == b, q
+
+
+# ---- segmented streaming (micro-batch → compressed segment) ----------------
+
+
+def test_segmented_stream_matches_batch(spark, tmp_path):
+    from bids_spark.streaming.incremental import SegmentedStreamIndexer
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    out = str(tmp_path / "segidx")
+    rows1 = [(1, "spark streaming ingest first batch"),
+             (2, "merge join sort window")]
+    rows2 = [(3, "second batch arrives with merge and join terms"),
+             (4, "streaming state lives in the checkpoint")]
+    _write_batch(spark, landing, "b1", rows1)
+
+    sx = SegmentedStreamIndexer(out, n_partitions=2)
+    sx.start(spark, os.path.join(landing, "*")).awaitTermination(120)
+    assert len(sx.seg_index.segment_paths()) >= 1
+
+    _write_batch(spark, landing, "b2", rows2)
+    sx.start(spark, os.path.join(landing, "*")).awaitTermination(120)
+    segs = sx.seg_index.segment_paths()
+    assert len(segs) >= 2  # one compressed segment per micro-batch
+
+    # search over segments == batch engine over the union corpus
+    union = spark.createDataFrame(
+        pd.DataFrame(rows1 + rows2, columns=["doc_id", "text"])
+    )
+    naive = SearchEngine.from_documents(union, cache=False)
+    eng = sx.engine(spark)
+    for q in ["merge join", "streaming", '"merge join"', "batch AND streaming"]:
+        got = [(r["rank"], r["doc_id"]) for r in eng.search(q, 10).collect()]
+        want = [(r["rank"], r["doc_id"]) for r in naive.search(q, 10).collect()]
+        assert got == want, q
+
+    # restart with same checkpoint: nothing re-processed, segments stable
+    sx.start(spark, os.path.join(landing, "*")).awaitTermination(120)
+    assert sx.seg_index.segment_paths() == segs
