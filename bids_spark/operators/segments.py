@@ -92,6 +92,87 @@ class SegmentedIndex:
             return BlockedSearchEngine(spark, segs[0], cache=cache)
         return SegmentedSearchEngine(spark, segs, cache=cache)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        n_partitions: int | None = None,
+        n_buckets: int = 8,
+        replace: bool = True,
+    ) -> BlockedIndex:
+        """Merge all segments into one (tantivy's background segment
+        merge, SURVEY §2 C5) WITHOUT re-tokenizing: the new segment's
+        postings/doclens stages are the unions of the sources' staged
+        parquet, stats are recomputed, and only the blocks + terms
+        stages run (sort-merge by (term, doc_id) range shuffle + block
+        encode with fresh global idf).  Doc ids are globally unique, so
+        the union needs no conflict resolution.
+
+        replace=True renames source segments to old-* (kept on disk,
+        no longer served) so the engine sees exactly the merged one."""
+        seg_paths = self.segment_paths()
+        assert len(seg_paths) >= 2, "nothing to compact"
+        segs = [BlockedIndex(p) for p in seg_paths]
+        mans = [s._manifest()["stages"]["blocks"] for s in segs]
+        with_pos = all(bool(m.get("with_positions")) for m in mans)
+        cols = ["term", "doc_id", "tf"] + (["positions"] if with_pos else [])
+
+        name = f"seg-merged-{len(seg_paths):04d}-{os.path.basename(seg_paths[-1])}"
+        dst = BlockedIndex(os.path.join(self.root, name))
+        fp = (
+            "compact:"
+            + ",".join(os.path.basename(p) for p in seg_paths)
+            + ("+pos" if with_pos else "")
+        )
+
+        def union_stage(stage: str, select_cols: list[str] | None):
+            dfs = [spark.read.parquet(s._dir(stage)) for s in segs]
+            if select_cols:
+                dfs = [d.select(*select_cols) for d in dfs]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            return out
+
+        man = dst._manifest()
+        if not dst._stage_done(man, "postings", fp):
+            union_stage("postings", cols).write.mode("overwrite").parquet(
+                dst._dir("postings")
+            )
+            dst._mark(man, "postings", fp, merged_from=len(segs), seconds=0.0)
+        if not dst._stage_done(man, "doclens", fp):
+            union_stage("doclens", ["doc_id", "dl"]).write.mode(
+                "overwrite"
+            ).parquet(dst._dir("doclens"))
+            dst._mark(man, "doclens", fp, seconds=0.0)
+        if not dst._stage_done(man, "stats", fp):
+            (
+                spark.read.parquet(dst._dir("doclens"))
+                .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+                .write.mode("overwrite")
+                .parquet(dst._dir("stats"))
+            )
+            dst._mark(man, "stats", fp, seconds=0.0)
+        # blocks + terms run through the normal build (stages above are
+        # marked done, so docs is only consulted for its SparkSession)
+        dst.build(
+            spark.range(0).withColumnRenamed("id", "doc_id"),
+            fingerprint="compact:"
+            + ",".join(os.path.basename(p) for p in seg_paths),
+            n_partitions=n_partitions,
+            n_buckets=n_buckets,
+            with_positions=with_pos,
+            score_mode="dl",
+        )
+        if replace:
+            for p in seg_paths:
+                os.rename(
+                    p,
+                    os.path.join(
+                        os.path.dirname(p), "old-" + os.path.basename(p)
+                    ),
+                )
+        return dst
+
 
 class SegmentedSearchEngine(BlockedSearchEngine):
     """BlockedSearchEngine over N segments with exact global scoring.

@@ -102,3 +102,34 @@ def test_f64_segments_rejected(spark, docs, tmp_path):
     b.build(docs, fingerprint="b", score_mode="f64", n_partitions=4)
     with pytest.raises(ValueError):
         SegmentedSearchEngine(spark, [a, b])
+
+
+def test_compaction_preserves_results(spark, docs, tmp_path):
+    """C5 background merge: compacting N segments into one must not
+    change any query result, and the engine afterwards is the plain
+    single-index engine."""
+    from bids_spark.operators.wand import BlockedSearchEngine
+
+    si = SegmentedIndex(str(tmp_path / "croot"))
+    si.add_segment(docs.filter(docs.doc_id % 3 == 0), fingerprint="c0",
+                   n_partitions=2)
+    si.add_segment(docs.filter(docs.doc_id % 3 == 1), fingerprint="c1",
+                   n_partitions=2)
+    si.add_segment(docs.filter(docs.doc_id % 3 == 2), fingerprint="c2",
+                   n_partitions=2)
+    before = {}
+    eng = si.engine(spark)
+    qs = ["merge join", "merge AND join", '"merge join"', "data -merge"]
+    for q in qs:
+        before[q] = [(r["rank"], r["doc_id"], round(r["score"], 9))
+                     for r in eng.search(q, 10).collect()]
+
+    si.compact(spark, n_partitions=4)
+    assert len(si.segment_paths()) == 1
+    eng2 = si.engine(spark)
+    assert isinstance(eng2, BlockedSearchEngine)
+    assert not isinstance(eng2, SegmentedSearchEngine)
+    for q in qs:
+        after = [(r["rank"], r["doc_id"], round(r["score"], 9))
+                 for r in eng2.search(q, 10).collect()]
+        assert after == before[q], q
