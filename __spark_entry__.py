@@ -89,4 +89,6 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": C.SQL_NGRAM_JACCARD,
         "cosine_topk": C.SQL_COSINE_TOPK,
         "media_metadata": C.SQL_MEDIA_METADATA,
+        "decode_features": C.SQL_DECODE_FEATURES,
+        "frame_sample": C.SQL_FRAME_SAMPLE,
     }

@@ -429,7 +429,8 @@ SQL_FINGERPRINT = f"""
 WITH {_LST_CTE},
 pos AS (SELECT doc_id, unnest(generate_series(1, len(lst))) AS p, lst FROM base)
 SELECT b.doc_id,
-       coalesce(sum(p * (length(lst[p]) * 131 + ascii(lst[p]))) % 1000000007, 0) AS fp
+       CAST(coalesce(sum(p * (length(lst[p]) * 131 + ascii(lst[p]))) % 1000000007, 0)
+            AS BIGINT) AS fp
 FROM base b LEFT JOIN pos USING (doc_id, lst)
 GROUP BY b.doc_id
 """
@@ -521,7 +522,7 @@ FROM m
 """
 
 
-# --- rows-only entries (no SQL oracle: platform hash / approximate / binary) ---
+# --- rows-only entries (no SQL oracle: platform hash / approximate) ---
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -547,8 +548,80 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 def q_decode_features(spark, sf_dir):
-    return mm.decode_features(mm.attach_media(load_documents(spark, sf_dir)))
+    feats = mm.decode_features(mm.attach_media(load_documents(spark, sf_dir)))
+    return feats.select(
+        "doc_id",
+        *[F.round(f"f{i}", 6).alias(f"f{i}") for i in range(mm.N_FEATURES)],
+    )
+
+
+# The fake decoder is an 8-bin byte histogram (L1-normalized) over the
+# utf-8 bytes of text — bin = byte // 32.  Expressible in DuckDB by
+# hexing each byte of encode(text) and mapping hex digits back to ints
+# (no blob→int builtin), so the Arrow decode path gets a real oracle.
+_HEXV = (
+    "((strpos('0123456789abcdef', substring({h}, 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substring({h}, 2, 1)) - 1)"
+)
+
+SQL_DECODE_FEATURES = (
+    """
+WITH enc AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, hx, n, unnest(generate_series(1, CAST(n AS INT))) AS i
+  FROM enc WHERE n > 0
+),
+v AS (
+  SELECT doc_id, n,
+         """
+    + _HEXV.format(h="substring(hx, 2 * i - 1, 2)")
+    + """ // 32 AS bin
+  FROM pos
+),
+h AS (
+  SELECT doc_id, any_value(n) AS n,
+"""
+    + ",\n".join(
+        f"         sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS c{i}"
+        for i in range(8)
+    )
+    + """
+  FROM v GROUP BY doc_id
+)
+SELECT d.doc_id,
+"""
+    + ",\n".join(
+        f"       coalesce(round(CAST(h.c{i} AS DOUBLE) / h.n, 6), 0.0) AS f{i}"
+        for i in range(8)
+    )
+    + """
+FROM documents d LEFT JOIN h USING (doc_id)
+"""
+)
 
 
 def q_frame_sample(spark, sf_dir):
-    return mm.sample_frames(mm.attach_media(load_documents(spark, sf_dir)))
+    frames = mm.sample_frames(mm.attach_media(load_documents(spark, sf_dir)))
+    return frames.select(
+        "doc_id", "frame_no", F.lower(F.hex("frame")).alias("frame_hex")
+    )
+
+
+# Deterministic byte-window slicing — DuckDB blob substring is the
+# oracle (hex-encoded on both sides so the compared cells are strings).
+SQL_FRAME_SAMPLE = """
+WITH enc AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+),
+f AS (SELECT doc_id, hx, n, unnest([0, 1, 2, 3]) AS frame_no FROM enc)
+SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+       substring(hx, CAST(frame_no * (n // 4) * 2 + 1 AS BIGINT),
+                 CAST(greatest(n // 4, 1) * 2 AS BIGINT)) AS frame_hex
+FROM f
+"""

@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 
 from bids_spark.functions.text import tokenize_text
 
-MERSENNE = (1 << 61) - 1
+# Universal-hash universe for minhash: the 31-bit Mersenne prime.
+# With h, a < 2^31-1 the product h*a is < 2^62 — safely inside int64
+# even under spark.sql.ansi.enabled (a 61-bit universe overflows:
+# h*a can reach 2^122).  64 perms over a 2^31 universe keep the
+# min-collision bias < 1e-6 per perm — far below the LSH band noise.
+MERSENNE31 = (1 << 31) - 1
 
 
 def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
@@ -86,16 +91,18 @@ def ngram_jaccard_pairs(
     inv = ss.select("doc_id", F.explode("shingles").alias("sh"))
     rare = (
         inv.groupBy("sh")
-        .agg(F.count("*").alias("df"), F.collect_list("doc_id").alias("ids"))
+        .agg(F.count("*").alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= max_shingle_df))
     )
+    # The df-cap semi-join MUST sit below the self-join: a boilerplate
+    # shingle with df=10^6 would otherwise materialize 10^12 join rows
+    # before the filter could drop it.  Filtering inv first bounds the
+    # per-shingle pair fan-out to max_shingle_df^2.
+    inv_rare = inv.join(rare.select("sh"), "sh", "left_semi")
     pairs = (
-        inv.alias("a")
-        .join(inv.alias("b"), "sh")
+        inv_rare.alias("a")
+        .join(inv_rare.alias("b"), "sh")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .join(
-            rare.select("sh"), "sh", "left_semi"
-        )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
@@ -125,12 +132,12 @@ def ngram_jaccard_pairs(
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
-    """Deterministic (a, b) for h_i(x) = (a·x + b) mod 2^61-1."""
+    """Deterministic (a, b) for h_i(x) = (a·x + b) mod 2^31-1."""
     import random
 
     rng = random.Random(seed)
     return [
-        (rng.randrange(1, MERSENNE), rng.randrange(0, MERSENNE))
+        (rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
         for _ in range(num_perm)
     ]
 
@@ -146,10 +153,11 @@ def minhash_signatures(
     inv = shingle_sets(docs, n, id_col, text_col).select(
         "doc_id", F.explode("shingles").alias("sh")
     )
-    # non-negative 61-bit base hash
-    h = F.pmod(F.xxhash64("sh"), F.lit(MERSENNE))
+    # non-negative 31-bit base hash (see MERSENNE31 note: keeps h*a
+    # inside int64 under ANSI mode)
+    h = F.pmod(F.xxhash64("sh"), F.lit(MERSENNE31))
     aggs = [
-        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE))).alias(f"m{i}")
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE31))).alias(f"m{i}")
         for i, (a, b) in enumerate(_perm_params(num_perm, seed))
     ]
     sig = inv.groupBy("doc_id").agg(*aggs)

@@ -78,17 +78,21 @@ def _fake_decode(buf: bytes) -> np.ndarray:
 
 
 def decode_features(media_df: DataFrame, strict: bool = False) -> DataFrame:
-    """(doc_id, features array<double>) via Arrow-batched mapInPandas.
+    """(doc_id, f0..f7 double) via Arrow-batched mapInPandas.
+
+    Fixed scalar feature columns (not array<double>): a flat schema is
+    what a downstream trainer joins on, and it keeps every column
+    independently prunable/sortable (the driver's canonicalizer also
+    requires hashable cells).
 
     strict=True raises NotImplementedError where a real codec would be
     required — marking exactly the seam a production image/audio
     library plugs into.
     """
+    fcols = [f"f{i}" for i in range(N_FEATURES)]
     schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("features", T.ArrayType(T.DoubleType())),
-        ]
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(c, T.DoubleType()) for c in fcols]
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -98,8 +102,13 @@ def decode_features(media_df: DataFrame, strict: bool = False) -> DataFrame:
                     "real media codec not available in this environment; "
                     "plug a decoder into _fake_decode's seam"
                 )
-            feats = [list(_fake_decode(bytes(b))) for b in pdf["media"]]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+            feats = np.vstack(
+                [_fake_decode(bytes(b)) for b in pdf["media"]]
+            ) if len(pdf) else np.zeros((0, N_FEATURES))
+            out = {"doc_id": pdf["doc_id"]}
+            for i, c in enumerate(fcols):
+                out[c] = feats[:, i]
+            yield pd.DataFrame(out)
 
     return media_df.select("doc_id", "media").mapInPandas(gen, schema)
 

@@ -149,8 +149,13 @@ def test_fingerprint_order_sensitive(spark):
 
 def test_decode_features_deterministic(planted):
     media = mm.attach_media(planted)
-    f1 = {r["doc_id"]: r["features"] for r in mm.decode_features(media).collect()}
-    f2 = {r["doc_id"]: r["features"] for r in mm.decode_features(media).collect()}
+    fcols = [f"f{i}" for i in range(mm.N_FEATURES)]
+
+    def grab(df):
+        return {r["doc_id"]: tuple(r[c] for c in fcols) for r in df.collect()}
+
+    f1 = grab(mm.decode_features(media))
+    f2 = grab(mm.decode_features(media))
     assert f1 == f2
     assert all(len(v) == mm.N_FEATURES for v in f1.values())
     assert abs(sum(f1[1]) - 1.0) < 1e-9               # L1-normalized
@@ -170,3 +175,22 @@ def test_frame_sample_shape(planted):
     assert frames.count() == 4 * n_docs
     per = frames.groupBy("doc_id").agg(F.countDistinct("frame_no").alias("n")).collect()
     assert all(r["n"] == 4 for r in per)
+
+
+def test_ngram_jaccard_df_cap_below_self_join(planted):
+    """Scale guard: the max_shingle_df semi-filter must execute BELOW
+    the shingle self-join (on both inputs), or a boilerplate shingle
+    with df=10^6 materializes 10^12 join rows before it can be
+    dropped.  The fixed plan semi-joins inv against the rare-shingle
+    set on each side of the self-join → two LeftSemi joins in the
+    optimized plan; the broken ordering had exactly one, above it."""
+    out = dd.ngram_jaccard_pairs(planted, n=3, threshold=0.05)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftSemi") >= 2, plan
+
+
+def test_ngram_jaccard_df_cap_semantics(planted):
+    """A shingle over the cap contributes to NO pair's common count:
+    with max_shingle_df=1 every shared shingle is dropped → no pairs."""
+    assert dd.ngram_jaccard_pairs(planted, n=3, threshold=0.0,
+                                  max_shingle_df=1).count() == 0

@@ -29,7 +29,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
     spark = get_spark(cores=16)
     con = duckdb.connect()
     for t in TABLES:
@@ -37,6 +37,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     qs, oracles = E.queries(), E.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failed = []
     for name, fn in qs.items():
         got = fn(spark, sf_dir).toPandas()
