@@ -115,10 +115,20 @@ def cmd_index(spark: SparkSession, directory: str | None, parquet: str | None) -
     from bids_spark.operators.blocked_index import BlockedIndex
 
     all_docs = spark.read.parquet(_docs_path())
-    n = all_docs.count()
+    # content-sensitive fingerprint: doc count alone would silently
+    # serve a stale index after a same-size reindex — fold in cheap
+    # content stats (one agg job at build time only)
+    st = all_docs.agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("s"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.sum(F.length("text")).alias("b"),
+    ).first()
+    n = int(st["n"])
     BlockedIndex(_index_path()).build(
         all_docs.select("doc_id", "text"),
-        fingerprint=f"dataset-{n}",
+        fingerprint=f"dataset-{n}-{st['s']}-{st['lo']}-{st['hi']}-{st['b']}",
         with_positions=True,
     )
     print(f"Indexed: dataset now holds {n} documents")
@@ -131,14 +141,20 @@ def cmd_search(spark: SparkSession, query: str, limit: int) -> int:
         return 1
     PAGE_SIZE = 10  # reference over-fetch (index.py:21,155-157)
     docs = spark.read.parquet(_docs_path())
-    if os.path.exists(os.path.join(_index_path(), "manifest.json")):
-        # serve from the prebuilt blocked index (the scale path)
-        from bids_spark.operators.blocked_index import BlockedIndex
+    from bids_spark.operators.blocked_index import BlockedIndex
+
+    bi = BlockedIndex(_index_path())
+    if bi.is_servable():
+        # serve from the prebuilt blocked index (the scale path).
+        # is_servable gates on the manifest recording blocks+terms done
+        # with the CURRENT format tag: an interrupted --index or an
+        # older-format directory falls back instead of crashing.
         from bids_spark.operators.wand import BlockedSearchEngine
 
-        eng = BlockedSearchEngine(spark, BlockedIndex(_index_path()))
+        eng = BlockedSearchEngine(spark, bi)
     else:
-        # datasets imported from older archives: score on the fly
+        # datasets imported from older archives / partial builds:
+        # score on the fly
         from bids_spark.plans.planner import SearchEngine
 
         eng = SearchEngine.from_documents(docs, cache=False)

@@ -183,6 +183,26 @@ def q_bm25_phrase(spark, sf_dir):
 _BLOCKED_CACHE: dict[str, object] = {}
 
 
+def _content_fp(sf_dir: str) -> str:
+    """Cheap content fingerprint of the documents parquet (file names,
+    sizes, mtimes) — so a replaced input with the SAME row count still
+    invalidates cached index dirs (stale-serve guard)."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    if os.path.isdir(p):
+        for root, _dirs, files in os.walk(p):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(p):
+        st = os.stat(p)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
 def _blocked_index(spark: SparkSession, sf_dir: str):
     import hashlib
     import os
@@ -190,7 +210,7 @@ def _blocked_index(spark: SparkSession, sf_dir: str):
 
     from bids_spark.operators.blocked_index import BlockedIndex
 
-    key = sf_dir.rstrip("/")
+    key = sf_dir.rstrip("/") + "@" + _content_fp(sf_dir)
     bi = _BLOCKED_CACHE.get(key)
     if bi is None:
         d = os.path.join(
@@ -232,7 +252,7 @@ def q_bm25_or_segmented(spark, sf_dir):
 
     from bids_spark.operators.segments import SegmentedIndex
 
-    key = sf_dir.rstrip("/") + "#seg"
+    key = sf_dir.rstrip("/") + "#seg@" + _content_fp(sf_dir)
     root = os.path.join(
         tempfile.gettempdir(),
         "bids_contract_seg_" + hashlib.md5(key.encode()).hexdigest()[:10],

@@ -211,6 +211,12 @@ def _block_encoder(with_positions: bool = False, store_dl: bool = False):
     return gen
 
 
+#: On-disk block/terms format tag.  Bump on any codec or schema change:
+#: stale blocks/terms stages rebuild while postings/doclens/stats stay
+#: resumable (their fingerprints don't carry the tag).
+FMT_TAG = "#fmt4"
+
+
 class BlockedIndex:
     """On-disk layout: {path}/postings, doclens, stats, blocks,
     manifest.json."""
@@ -218,6 +224,25 @@ class BlockedIndex:
     def __init__(self, path: str):
         self.path = path
         self.manifest_path = os.path.join(path, "manifest.json")
+
+    def is_servable(self) -> bool:
+        """True iff a reader can serve queries from this directory:
+        the manifest records the blocks AND terms stages as done with
+        the CURRENT on-disk format tag.  An interrupted build (postings
+        marked, blocks never written) or an index left by a previous
+        format must not be served — callers fall back to the naive
+        engine instead of crashing on a missing/stale stage."""
+        man = self._manifest()
+        blk = man["stages"].get("blocks")
+        trm = man["stages"].get("terms")
+        return bool(
+            blk and blk.get("status") == "done"
+            and FMT_TAG in str(blk.get("fingerprint", ""))
+            and trm and trm.get("status") == "done"
+            and trm.get("fingerprint") == blk.get("fingerprint")
+            and os.path.isdir(self._dir("blocks"))
+            and os.path.isdir(self._dir("terms"))
+        )
 
     # ---- manifest / resumability ---------------------------------------
 
@@ -353,7 +378,7 @@ class BlockedIndex:
         # blocks/terms carry a format tag so indexes written before a
         # codec/schema change rebuild those stages (postings/doclens/
         # stats are format-stable and stay resumable)
-        blk_fp = fingerprint + f"#fmt4-{score_mode}"
+        blk_fp = fingerprint + f"{FMT_TAG}-{score_mode}"
         if not self._stage_done(man, "blocks", blk_fp):
             t0 = time.time()
             srow = stats.first()

@@ -31,6 +31,7 @@ module's landing-dir ingest can feed ``add_segment`` per micro-batch.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,24 +40,78 @@ from pyspark.sql import functions as F
 from bids_spark.operators.blocked_index import BlockedIndex
 from bids_spark.operators.wand import BlockedSearchEngine
 
-_UP = 1.0 + 4e-16   # one-sided ulp guards for rescaled bounds
-_DOWN = 1.0 - 4e-16
+# One-sided guards for rescaled bounds.  The rescale chain (two
+# 3-rounding score evaluations, the idf_g/idf_s division, the multiply)
+# can accumulate ~8 ulp (~8.9e-16) of error in adversarial cases, so a
+# 4e-16 guard could under-cover; 2e-15 (~16 ulp) is a safely derived
+# bound.  The bounds only steer pruning — looser guards cost at most a
+# few extra survivor blocks, never correctness.
+_UP = 1.0 + 2e-15
+_DOWN = 1.0 - 2e-15
 
 
 class SegmentedIndex:
-    """Directory of independent BlockedIndex segments: root/seg-NNNN."""
+    """Directory of independent BlockedIndex segments: root/seg-NNNN.
+
+    Visibility is gated by an atomically written commit file
+    ``root/segments.json`` (the analogue of tantivy's meta.json): a
+    segment is served only once it is listed there, so readers never
+    see an in-flight ``add_segment`` build or an under-construction
+    compaction, and a crash mid-compaction can never double-count
+    (sources stay committed until the merged segment commits).
+    Roots written before the commit file existed fall back to listing
+    servable seg-* directories."""
 
     def __init__(self, root: str):
         self.root = root
 
+    # -- atomic segment-set commit -----------------------------------------
+
+    @property
+    def _commit_path(self) -> str:
+        return os.path.join(self.root, "segments.json")
+
+    def _read_commit(self) -> dict | None:
+        if not os.path.exists(self._commit_path):
+            return None
+        with open(self._commit_path) as f:
+            c = json.load(f)
+        c.setdefault("segments", [])
+        c.setdefault("tombstones", [])
+        return c
+
+    def _write_commit(self, segments: list[str], tombstones: list[str]) -> None:
+        """Atomic write-temp-then-rename — the single commit point."""
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._commit_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"segments": sorted(segments), "tombstones": sorted(tombstones)},
+                f, indent=2,
+            )
+        os.replace(tmp, self._commit_path)
+
+    def _committed(self) -> dict:
+        """Current commit, synthesized from servable dirs for legacy
+        roots (pre-commit-file layout)."""
+        c = self._read_commit()
+        if c is not None:
+            return c
+        names = []
+        if os.path.isdir(self.root):
+            names = sorted(
+                d for d in os.listdir(self.root)
+                if d.startswith("seg-")
+                and BlockedIndex(os.path.join(self.root, d)).is_servable()
+            )
+        return {"segments": names, "tombstones": []}
+
     def segment_paths(self) -> list[str]:
-        if not os.path.isdir(self.root):
-            return []
-        return sorted(
-            os.path.join(self.root, d)
-            for d in os.listdir(self.root)
-            if d.startswith("seg-")
-        )
+        return [
+            os.path.join(self.root, n)
+            for n in self._committed()["segments"]
+            if os.path.isdir(os.path.join(self.root, n))
+        ]
 
     def segments(self) -> list[BlockedIndex]:
         return [BlockedIndex(p) for p in self.segment_paths()]
@@ -78,19 +133,71 @@ class SegmentedIndex:
         (exactly-once)."""
         build_kwargs["score_mode"] = "dl"
         build_kwargs.setdefault("with_positions", True)
+        c = self._committed()
         if name is None:
-            name = f"seg-{len(self.segment_paths()):04d}"
+            name = f"seg-{len(c['segments']):04d}"
         assert name.startswith("seg-")
         seg_dir = os.path.join(self.root, name)
         bi = BlockedIndex(seg_dir)
         bi.build(docs, fingerprint=fingerprint or seg_dir, **build_kwargs)
+        # commit AFTER the build completes — readers never list the
+        # in-flight directory (idempotent for streaming retries: a
+        # name already committed is not re-appended).  The read must
+        # come from the commit FILE: the legacy-fallback synthesis
+        # would already list the just-built directory and skip the
+        # write, leaving the root uncommitted.
+        c = self._read_commit()
+        if c is None:
+            # first commit of a legacy root: adopt its servable
+            # segments, then add the new one
+            c = self._committed()
+            c["segments"] = [n for n in c["segments"] if n != name]
+        if name not in c["segments"]:
+            self._write_commit(c["segments"] + [name], c["tombstones"])
         return bi
+
+    # -- deletes (segment tombstones) ---------------------------------------
+
+    def delete_docs(self, spark: SparkSession, doc_ids: list[int]) -> None:
+        """Tombstone documents (reference analogue: tantivy
+        delete_documents + commit, playground/example/indexer.py:90-105).
+
+        Lucene/tantivy semantics: deleted docs stop matching queries
+        immediately, but df/N/avgdl still count them until a merge —
+        surviving docs' scores are UNCHANGED.  compact() purges
+        tombstoned rows and recomputes stats."""
+        if not doc_ids:
+            return
+        c = self._committed()
+        name = f"del-{len(c['tombstones']):04d}"
+        path = os.path.join(self.root, "tombstones", name)
+        (
+            spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id bigint")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        self._write_commit(c["segments"], c["tombstones"] + [name])
+
+    def tombstones(self, spark: SparkSession) -> DataFrame | None:
+        names = self._committed()["tombstones"]
+        if not names:
+            return None
+        dfs = [
+            spark.read.parquet(os.path.join(self.root, "tombstones", n))
+            for n in names
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out.select("doc_id").distinct()
 
     def engine(self, spark: SparkSession, cache: bool = False):
         segs = self.segments()
-        if len(segs) == 1:
+        tomb = self.tombstones(spark)
+        if len(segs) == 1 and tomb is None:
             return BlockedSearchEngine(spark, segs[0], cache=cache)
-        return SegmentedSearchEngine(spark, segs, cache=cache)
+        return SegmentedSearchEngine(spark, segs, cache=cache, tombstones=tomb)
 
     def compact(
         self,
@@ -107,22 +214,36 @@ class SegmentedIndex:
         encode with fresh global idf).  Doc ids are globally unique, so
         the union needs no conflict resolution.
 
-        replace=True renames source segments to old-* (kept on disk,
-        no longer served) so the engine sees exactly the merged one."""
+        Tombstoned docs are PURGED here (their postings/doclens rows are
+        dropped and stats recomputed) and the tombstone set is cleared
+        on commit — the Lucene/tantivy merge semantics for deletes.
+
+        replace=True atomically commits the merged segment as the only
+        visible one (then renames sources to old-*, kept on disk);
+        replace=False builds the merged segment WITHOUT committing it —
+        readers keep serving the sources."""
+        # establish the commit file first (no-op if present): the
+        # under-construction merged dir must never become visible via
+        # the legacy directory-listing fallback
+        pre = self._committed()
+        if self._read_commit() is None:
+            self._write_commit(pre["segments"], pre["tombstones"])
         seg_paths = self.segment_paths()
         assert len(seg_paths) >= 2, "nothing to compact"
         segs = [BlockedIndex(p) for p in seg_paths]
         mans = [s._manifest()["stages"]["blocks"] for s in segs]
         with_pos = all(bool(m.get("with_positions")) for m in mans)
         cols = ["term", "doc_id", "tf"] + (["positions"] if with_pos else [])
+        tomb = self.tombstones(spark)
 
         name = f"seg-merged-{len(seg_paths):04d}-{os.path.basename(seg_paths[-1])}"
         dst = BlockedIndex(os.path.join(self.root, name))
-        fp = (
-            "compact:"
-            + ",".join(os.path.basename(p) for p in seg_paths)
-            + ("+pos" if with_pos else "")
-        )
+        # base_fp feeds dst.build below, which appends "+pos" itself —
+        # fp here must mirror that so the staged unions are recognized
+        base_fp = "compact:" + ",".join(os.path.basename(p) for p in seg_paths)
+        if pre["tombstones"]:
+            base_fp += "-" + ",".join(pre["tombstones"])
+        fp = base_fp + ("+pos" if with_pos else "")
 
         def union_stage(stage: str, select_cols: list[str] | None):
             dfs = [spark.read.parquet(s._dir(stage)) for s in segs]
@@ -131,6 +252,8 @@ class SegmentedIndex:
             out = dfs[0]
             for d in dfs[1:]:
                 out = out.unionByName(d)
+            if tomb is not None:
+                out = out.join(tomb, "doc_id", "left_anti")
             return out
 
         man = dst._manifest()
@@ -156,14 +279,19 @@ class SegmentedIndex:
         # marked done, so docs is only consulted for its SparkSession)
         dst.build(
             spark.range(0).withColumnRenamed("id", "doc_id"),
-            fingerprint="compact:"
-            + ",".join(os.path.basename(p) for p in seg_paths),
+            fingerprint=base_fp,
             n_partitions=n_partitions,
             n_buckets=n_buckets,
             with_positions=with_pos,
             score_mode="dl",
         )
         if replace:
+            # single atomic commit point: the merged segment becomes
+            # visible and the sources + tombstones invisible in ONE
+            # rename; a crash before this line leaves the sources
+            # serving, a crash after leaves the merged one serving —
+            # never both, never double-counted
+            self._write_commit([name], [])
             for p in seg_paths:
                 os.rename(
                     p,
@@ -184,11 +312,16 @@ class SegmentedSearchEngine(BlockedSearchEngine):
     (global)."""
 
     def __init__(
-        self, spark: SparkSession, segments: list[BlockedIndex], cache: bool = False
+        self,
+        spark: SparkSession,
+        segments: list[BlockedIndex],
+        cache: bool = False,
+        tombstones: DataFrame | None = None,
     ):
         assert segments, "need at least one segment"
         self.spark = spark
         self.segs = segments
+        self._tomb = tombstones
         mans = [s._manifest()["stages"]["blocks"] for s in segments]
         for m in mans:
             if m.get("score_mode") != "dl":
@@ -261,6 +394,7 @@ class SegmentedSearchEngine(BlockedSearchEngine):
         out: dict[str, dict] = {}
         for t in df_g:
             gmax = s10 = s100 = 0.0
+            n_blocks = 0
             for seg in per_seg:
                 m = seg.get(t)
                 if not m:
@@ -269,9 +403,11 @@ class SegmentedSearchEngine(BlockedSearchEngine):
                 gmax = max(gmax, float(m["gmax"]) * r * _UP)
                 s10 = max(s10, float(m["s10"] or 0.0) * r * _DOWN)
                 s100 = max(s100, float(m["s100"] or 0.0) * r * _DOWN)
+                n_blocks += int(m.get("n_blocks") or 0)
             out[t] = {
                 "term": t, "df": df_g[t], "idf": idf_g[t],
                 "gmax": gmax, "s10": s10, "s100": s100,
+                "n_blocks": n_blocks,
             }
         self._meta_cache[key] = out
         return out
@@ -316,6 +452,24 @@ class SegmentedSearchEngine(BlockedSearchEngine):
 
     # -- overridden plumbing ---------------------------------------------------
 
+    def _has_deletes(self) -> bool:
+        return self._tomb is not None
+
+    def _decode(self, blocks: DataFrame) -> DataFrame:
+        """Tombstoned docs are dropped right after decode (before any
+        aggregation/top-k) — Lucene live-doc skipping.  Scores of the
+        surviving docs are untouched: df/N/avgdl keep counting deleted
+        docs until compact() purges them, exactly like a Lucene/tantivy
+        index before merge."""
+        out = super()._decode(blocks)
+        if self._tomb is not None:
+            # no broadcast hint: the tombstone relation is a parquet
+            # scan with file-size stats, so Catalyst auto-broadcasts
+            # while it is small and falls back to a shuffle join when a
+            # mass delete outgrows the broadcast threshold
+            out = out.join(self._tomb, "doc_id", "left_anti")
+        return out
+
     def _doclens(self) -> DataFrame:
         if self._doclens_cache is None:
             dfs = [s.doclens(self.spark) for s in self.segs]
@@ -339,6 +493,8 @@ class SegmentedSearchEngine(BlockedSearchEngine):
 
         uniq = list(dict.fromkeys(p.terms))
         decoded = decode_blocks_positions(self._term_blocks(uniq))
+        if self._tomb is not None:
+            decoded = decoded.join(self._tomb, "doc_id", "left_anti")
         n_docs, avgdl = self._stats()
         idf_sum = sum(float(m["idf"]) for m in self._term_meta(uniq).values())
         return eval_phrase(

@@ -242,6 +242,14 @@ class BlockedSearchEngine(BooleanEvaluator):
     def _empty_scores(self) -> DataFrame:
         return self._empty()
 
+    def _has_deletes(self) -> bool:
+        """Overridden by the segmented engine when tombstones exist.
+        With deletes, the term-dictionary θ (s10/s100) is computed over
+        ALL docs including deleted ones — it could exceed the true k-th
+        best among LIVE docs and over-prune, so the pruned-OR path must
+        take θ from a probe over tombstone-filtered decodes instead."""
+        return False
+
     # -- scoring fast paths ---------------------------------------------------
 
     def _probe_theta(self, tb: DataFrame, k: int) -> float:
@@ -286,14 +294,19 @@ class BlockedSearchEngine(BooleanEvaluator):
         # θ from the term dictionary — zero extra jobs: s_k(t) is (a
         # lower bound on) the k-th best single-term score of t; every
         # one of those ≥k docs has total ≥ its t-score, so the k-th best
-        # TOTAL ≥ max_t s_k(t).
+        # TOTAL ≥ max_t s_k(t).  With deletes the dictionary values may
+        # count tombstoned docs (no longer lower bounds on LIVE totals)
+        # — probe-θ over filtered decodes is the valid substitute.
         theta = 0.0
-        if k <= 10:
-            theta = max(float(m["s10"] or 0.0) for m in meta.values())
-        elif k <= 100:
-            theta = max(float(m["s100"] or 0.0) for m in meta.values())
-        if theta_mode == "probe" or (theta == 0.0 and k > 100):
-            theta = max(theta, self._probe_theta(tb, k))
+        if self._has_deletes():
+            theta = self._probe_theta(tb, k)
+        else:
+            if k <= 10:
+                theta = max(float(m["s10"] or 0.0) for m in meta.values())
+            elif k <= 100:
+                theta = max(float(m["s100"] or 0.0) for m in meta.values())
+            if theta_mode == "probe" or (theta == 0.0 and k > 100):
+                theta = max(theta, self._probe_theta(tb, k))
 
         # prune: drop block b iff  bm(b) + (gsum − gmax(term(b))) < θ
         gmax_df = F.broadcast(
@@ -311,6 +324,14 @@ class BlockedSearchEngine(BooleanEvaluator):
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+
+    # Max rarest-term block-interval rows we are willing to broadcast
+    # for the AND-path range restriction.  When every must term is a
+    # head term ("the AND of"), the rarest still has df/128 blocks — at
+    # 10^12 docs that's ~10^10 rows, which would OOM the driver.  Above
+    # the budget the restriction is skipped: the matched-count filter
+    # alone is still exact, we only lose a pruning heuristic.
+    RANGE_BROADCAST_BUDGET = 65536
 
     def _topk_bool(self, must: list[str], should: list[str],
                    must_not: list[str], k: int) -> DataFrame:
@@ -331,13 +352,14 @@ class BlockedSearchEngine(BooleanEvaluator):
             # term blocks [a,b] with a≤d≤b → the intervals overlap at d,
             # so no contributing block is pruned: scores are exact.
             rarest = min(must_set, key=lambda t: meta[t]["df"])
-            rarest_ranges = F.broadcast(
-                self._term_blocks([rarest])
-                .select(
-                    F.col("first_doc").alias("r_lo"),
-                    F.col("max_doc").alias("r_hi"),
+            if int(meta[rarest].get("n_blocks") or 0) <= self.RANGE_BROADCAST_BUDGET:
+                rarest_ranges = F.broadcast(
+                    self._term_blocks([rarest])
+                    .select(
+                        F.col("first_doc").alias("r_lo"),
+                        F.col("max_doc").alias("r_hi"),
+                    )
                 )
-            )
 
         def restrict(blocks: DataFrame) -> DataFrame:
             if rarest_ranges is None:

@@ -10,6 +10,12 @@ exposes (`index.parse_query(q, ["content"])` at
     - `+term` / `-term`         → must / must-not
     - `"a b c"`                 → phrase (positions)
     - `( ... )`                 → grouping
+    - `content:term` / `content:"a b"` → field-scoped query.  The
+      schema declares exactly one text field (`content`, the parse
+      default at bids/index.py:147), so scoping to it is the identity;
+      any OTHER field name raises ValueError — tantivy's QueryParser
+      errors on undeclared fields, and silently treating `title:x` as
+      a phrase (the previous behaviour) was wrong semantics.
 
 Terms are run through the same tokenizer as documents
 (functions.text.tokenize_query); a quoted string whose tokenization
@@ -25,6 +31,11 @@ import re
 from dataclasses import dataclass, field
 
 from bids_spark.functions.text import tokenize_query
+
+# Declared text fields (the reference schema's only queryable text
+# field is `content`, bids/index.py:49-52); `field:term` scoping to it
+# is the identity, any other field is a parse error.
+FIELDS = frozenset({"content"})
 
 
 @dataclass(frozen=True)
@@ -143,6 +154,15 @@ class _Parser:
             return ("-", atom) if atom is not None else None
         return self._atom()
 
+    @staticmethod
+    def _tokens_atom(text: str):
+        terms = tokenize_query(text)
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return Term(terms[0])
+        return Phrase(tuple(terms))
+
     def _atom(self):
         kind, val = self.next()
         if kind == "lparen":
@@ -151,19 +171,24 @@ class _Parser:
                 self.next()
             return inner
         if kind == "phrase":
-            terms = tokenize_query(val.strip('"'))
-            if not terms:
-                return None
-            if len(terms) == 1:
-                return Term(terms[0])
-            return Phrase(tuple(terms))
+            return self._tokens_atom(val.strip('"'))
         if kind == "word":
-            terms = tokenize_query(val)
-            if not terms:
-                return None
-            if len(terms) == 1:
-                return Term(terms[0])
-            return Phrase(tuple(terms))  # e.g. hyphen-free splits like "foo.bar"
+            if ":" in val:
+                fld, _, rest = val.partition(":")
+                if fld.lower() not in FIELDS:
+                    raise ValueError(
+                        f"unknown field '{fld}' in query "
+                        f"(declared fields: {', '.join(sorted(FIELDS))})"
+                    )
+                if not rest:
+                    # `content:"a b"` — the quote ended the word token
+                    if self.peek()[0] == "phrase":
+                        _, qval = self.next()
+                        return self._tokens_atom(qval.strip('"'))
+                    return None
+                val = rest
+            # multi-token words (e.g. "foo.bar") degrade to a phrase
+            return self._tokens_atom(val)
         return None
 
 

@@ -206,3 +206,24 @@ def test_manifest_metrics(index):
     assert b["postings"] > 0 and b["compressed_bytes"] > 0
     assert b["postings_per_sec"] > 0
     assert 0 < b["bytes_per_posting"] < 20
+
+
+def test_and_path_broadcast_guard(spark, index, naive):
+    """When the rarest must term's n_blocks exceeds the broadcast
+    budget, the range-restriction broadcast must be skipped (at 10^12
+    docs an all-head-term AND would broadcast ~df/128 rows → OOM) —
+    and results must stay rank-identical (the matched-count filter is
+    exact on its own)."""
+    q = "merge AND join"
+    eng = BlockedSearchEngine(spark, index)
+    want = [(r["rank"], r["doc_id"]) for r in eng.search(q, 10).collect()]
+
+    guarded = BlockedSearchEngine(spark, index)
+    guarded.RANGE_BROADCAST_BUDGET = 0  # every term is "too big"
+    res = guarded.search(q, 10)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    got = [(r["rank"], r["doc_id"]) for r in res.collect()]
+    assert got == want
+    ref = [(r["rank"], r["doc_id"]) for r in naive.search(q, 10).collect()]
+    assert got == ref

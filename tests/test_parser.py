@@ -62,3 +62,25 @@ def test_empty_query():
 def test_punctuation_only_query():
     b = parse_query("!!! ???")
     assert not b.must and not b.should and not b.must_not
+
+
+# -- field-scoped queries (content is the schema's only text field) ----------
+
+
+def test_field_scoped_term_is_identity():
+    assert parse_query("content:merge") == parse_query("merge")
+    assert parse_query("content:merge join") == parse_query("merge join")
+    assert parse_query("data AND content:merge") == parse_query("data AND merge")
+
+
+def test_field_scoped_phrase():
+    assert parse_query('content:"merge join"') == parse_query('"merge join"')
+
+
+def test_unknown_field_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown field 'title'"):
+        parse_query("title:merge")
+    with pytest.raises(ValueError, match="unknown field"):
+        parse_query("data OR body:stuff")

@@ -114,3 +114,38 @@ def test_cli_end_to_end(tmp_path, corpus_dir):
     bad = tmp_path / "not_a_zip.zip"
     bad.write_text("nope")
     assert _cli(env, "--import", str(bad)).returncode == 1
+
+
+@pytest.mark.slow
+def test_cli_search_falls_back_on_unservable_index(tmp_path, corpus_dir):
+    """An interrupted --index (manifest present, blocks/terms stages
+    missing or stale-format) must fall back to the naive engine, not
+    crash with a raw AnalysisException."""
+    import json as _json
+
+    env = dict(os.environ,
+               BIDS_DATASET=str(tmp_path / "ds"),
+               BIDS_SPARK_CLI_CORES="4",
+               PYTHONPATH=REPO)
+    assert _cli(env, "--initialise").returncode == 0
+    assert _cli(env, "--index", corpus_dir).returncode == 0
+
+    # corrupt the manifest to look like an interrupted build: postings
+    # done, blocks/terms never finished
+    man_path = tmp_path / "ds" / "index" / "manifest.json"
+    man = _json.loads(man_path.read_text())
+    man["stages"].pop("blocks", None)
+    man["stages"].pop("terms", None)
+    man_path.write_text(_json.dumps(man))
+
+    r = _cli(env, "--search", "strcpy", "--results", "3")
+    assert r.returncode == 0, r.stderr
+    assert "1. Score: " in r.stdout
+
+    # previous on-disk format (fmt tag mismatch) must also fall back
+    man = _json.loads(man_path.read_text())
+    man["stages"]["blocks"] = {"status": "done", "fingerprint": "x#fmt3-dl"}
+    man["stages"]["terms"] = {"status": "done", "fingerprint": "x#fmt3-dl"}
+    man_path.write_text(_json.dumps(man))
+    r = _cli(env, "--search", "strcpy", "--results", "3")
+    assert r.returncode == 0, r.stderr

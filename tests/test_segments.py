@@ -133,3 +133,114 @@ def test_compaction_preserves_results(spark, docs, tmp_path):
         after = [(r["rank"], r["doc_id"], round(r["score"], 9))
                  for r in eng2.search(q, 10).collect()]
         assert after == before[q], q
+
+
+# -- atomic visibility (segments.json commit point) --------------------------
+
+
+def test_uncommitted_segment_is_invisible(spark, docs, tmp_path):
+    """A seg-* directory that never reached the commit point (in-flight
+    or crashed build) must not be listed or served — no KeyError on a
+    partial manifest, no double-counted docs."""
+    import os
+    import shutil
+
+    si = SegmentedIndex(str(tmp_path / "segvis"))
+    si.add_segment(docs.filter(docs.doc_id % 2 == 0), fingerprint="v0",
+                   n_partitions=4)
+    committed = si.segment_paths()
+    assert len(committed) == 1
+    # simulate a concurrent in-flight add: a full segment dir on disk,
+    # not yet committed
+    shutil.copytree(committed[0], os.path.join(si.root, "seg-inflight"))
+    assert si.segment_paths() == committed
+    # and a torn one: directory with a partial manifest
+    os.makedirs(os.path.join(si.root, "seg-torn"))
+    assert si.segment_paths() == committed
+
+
+def test_legacy_root_without_commit_file(spark, docs, tmp_path):
+    """Roots from before the commit file fall back to listing servable
+    segments only."""
+    import os
+
+    si = SegmentedIndex(str(tmp_path / "seglegacy"))
+    si.add_segment(docs.filter(docs.doc_id % 2 == 0), fingerprint="l0",
+                   n_partitions=4)
+    si.add_segment(docs.filter(docs.doc_id % 2 == 1), fingerprint="l1",
+                   n_partitions=4)
+    os.remove(si._commit_path)          # simulate pre-upgrade layout
+    paths = si.segment_paths()
+    assert len(paths) == 2
+    os.makedirs(os.path.join(si.root, "seg-halfbuilt"))   # not servable
+    assert si.segment_paths() == paths
+
+
+def test_compact_no_replace_keeps_sources_serving(spark, docs, tmp_path):
+    si = SegmentedIndex(str(tmp_path / "segnorep"))
+    si.add_segment(docs.filter(docs.doc_id % 2 == 0), fingerprint="n0",
+                   n_partitions=4)
+    si.add_segment(docs.filter(docs.doc_id % 2 == 1), fingerprint="n1",
+                   n_partitions=4)
+    before = si.segment_paths()
+    si.compact(spark, n_partitions=4, replace=False)
+    # merged segment exists on disk but is NOT committed: readers keep
+    # serving the sources, nothing is double-counted
+    assert si.segment_paths() == before
+    eng = si.engine(spark)
+    assert eng._stats()[0] == docs.count()
+
+
+# -- deletes (tombstones) ----------------------------------------------------
+
+
+@pytest.fixture()
+def deletable(spark, docs, tmp_path):
+    si = SegmentedIndex(str(tmp_path / "segdel"))
+    si.add_segment(docs.filter(docs.doc_id % 2 == 0), fingerprint="d0",
+                   n_partitions=4)
+    si.add_segment(docs.filter(docs.doc_id % 2 == 1), fingerprint="d1",
+                   n_partitions=4)
+    return si
+
+
+def test_delete_then_search(spark, docs, deletable):
+    """Reference behaviour (playground/example/indexer.py:90-105):
+    a deleted doc stops matching immediately; surviving docs keep
+    their EXACT scores (df/N/avgdl count deleted docs until merge,
+    like Lucene/tantivy)."""
+    si = deletable
+    base = si.engine(spark).search("data", 10).collect()
+    victim = base[0]["doc_id"]
+    si.delete_docs(spark, [victim])
+    got = si.engine(spark).search("data", 10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert victim not in ids
+    assert len(got) == 10                     # next-best doc filled in
+    rest = [(r["doc_id"], r["score"]) for r in base if r["doc_id"] != victim]
+    for (gid, gs), (wid, ws) in zip([(r["doc_id"], r["score"]) for r in got], rest):
+        assert gid == wid
+        assert math.isclose(gs, ws, rel_tol=1e-9)
+
+
+def test_delete_applies_to_all_query_shapes(spark, deletable):
+    si = deletable
+    for q in ["merge join", "merge AND join", '"merge join"']:
+        top = si.engine(spark).search(q, 3).collect()
+        victim = top[0]["doc_id"]
+        si.delete_docs(spark, [victim])
+        ids = [r["doc_id"] for r in si.engine(spark).search(q, 10).collect()]
+        assert victim not in ids, q
+
+
+def test_compact_purges_tombstones(spark, docs, deletable):
+    si = deletable
+    victim = si.engine(spark).search("data", 1).collect()[0]["doc_id"]
+    si.delete_docs(spark, [victim])
+    si.compact(spark, n_partitions=4)
+    assert len(si.segment_paths()) == 1
+    assert si._committed()["tombstones"] == []
+    eng = si.engine(spark)
+    assert victim not in [r["doc_id"] for r in eng.search("data", 10).collect()]
+    # merge purges deletions from the stats too (Lucene merge semantics)
+    assert eng._stats()[0] == docs.count() - 1
