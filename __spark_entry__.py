@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": C.q_simhash_neardup,
         "lsh_ann_topk": C.q_lsh_ann_topk,
         "embedding_neardup": C.q_embedding_neardup,
+        "embedding_neardup_exact": C.q_embedding_neardup_exact,
         "decode_features": C.q_decode_features,
         "frame_sample": C.q_frame_sample,
     }
@@ -91,4 +92,5 @@ def oracle_sql() -> dict[str, str]:
         "media_metadata": C.SQL_MEDIA_METADATA,
         "decode_features": C.SQL_DECODE_FEATURES,
         "frame_sample": C.SQL_FRAME_SAMPLE,
+        "embedding_neardup_exact": C.SQL_EMB_NEARDUP_EXACT,
     }

@@ -567,6 +567,31 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_embedding_neardup_exact(spark, sf_dir):
+    """Exact all-pairs twin of embedding_neardup — O(n²) but fully
+    DuckDB-oracle-able (the banded variant is legitimately approximate
+    in its candidate recall, so it stays rows-only)."""
+    return sim.embedding_allpairs_exact(
+        load_embeddings(spark, sf_dir), threshold=0.4
+    )
+
+
+SQL_EMB_NEARDUP_EXACT = f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_DOT.format(a='a.embedding', b='b.embedding')}
+               / (a.nrm * b.nrm), 6) AS cos
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4
+"""
+
+
 def q_decode_features(spark, sf_dir):
     feats = mm.decode_features(mm.attach_media(load_documents(spark, sf_dir)))
     return feats.select(

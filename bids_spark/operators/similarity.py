@@ -51,7 +51,8 @@ def cosine_topk(
     top = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    # constant partition key: ≤k rows (see planner.py rank note)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cos"), F.asc("vec_id"))
     return top.select(
         F.row_number().over(w).cast("long").alias("rank"),
         "vec_id",
@@ -116,22 +117,10 @@ def lsh_ann_topk(
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
 
-def embedding_neardup_pairs(
-    emb: DataFrame,
-    threshold: float = 0.9,
-    bits: int = 32,
-    bands: int = 8,
-    seed: int = 42,
-    id_col="vec_id",
-    vec_col="embedding",
-) -> DataFrame:
-    """(vec_a, vec_b, cos) pairs with cosine ≥ threshold; candidates
-    from shared signature bands, exact-cosine verified."""
-    first = emb.select(vec_col).first()
-    dim = len(first[vec_col])
-    sigs = lsh_signatures(emb, dim, bits, seed, id_col, vec_col)
+def _banded_keys(sigs: DataFrame, bits: int, bands: int) -> DataFrame:
+    """(vec_id, band, key) — signature split into band-wise sub-keys."""
     width = bits // bands
-    banded = sigs.select(
+    return sigs.select(
         "vec_id",
         F.explode(
             F.array(
@@ -147,6 +136,136 @@ def embedding_neardup_pairs(
             )
         ).alias("bb"),
     ).select("vec_id", "bb.band", "bb.key")
+
+
+class LshAnnIndex:
+    """Pre-bucketed ANN: banded signatures materialized as parquet
+    partitioned by `band` with `key` sorted within each partition.
+
+    The ad-hoc ``lsh_ann_topk`` recomputes every signature and scans
+    the whole relation with an OR-of-bands predicate — fine for one
+    shot, a full pass per query at 10^12 vectors.  Here candidate
+    lookup is a pruned scan (directory-level PartitionFilters on band,
+    key pushed to parquet row-group stats — the same layout as the
+    term-bucket design of the blocked index, SURVEY §2 D2), touching
+    only the query's `bands` buckets.
+    """
+
+    def __init__(self, path: str, bits: int = 32, bands: int = 8, seed: int = 42):
+        import json
+        import os
+
+        self.path = path
+        self.meta_path = os.path.join(path, "ann_meta.json")
+        if os.path.exists(self.meta_path):
+            with open(self.meta_path) as f:
+                m = json.load(f)
+            bits, bands, seed = m["bits"], m["bands"], m["seed"]
+            self.dim = m["dim"]
+        else:
+            self.dim = None
+        self.bits, self.bands, self.seed = bits, bands, seed
+
+    def build(
+        self, emb: DataFrame, id_col="vec_id", vec_col="embedding"
+    ) -> "LshAnnIndex":
+        import json
+        import os
+
+        dim = len(emb.select(vec_col).first()[vec_col])
+        sigs = lsh_signatures(emb, dim, self.bits, self.seed, id_col, vec_col)
+        banded = _banded_keys(sigs, self.bits, self.bands)
+        (
+            banded.repartition("band")
+            .sortWithinPartitions("key")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(os.path.join(self.path, "buckets"))
+        )
+        emb.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ).write.mode("overwrite").parquet(os.path.join(self.path, "vectors"))
+        self.dim = dim
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"bits": self.bits, "bands": self.bands, "seed": self.seed,
+                 "dim": dim},
+                f,
+            )
+        os.replace(tmp, self.meta_path)
+        return self
+
+    def candidates(self, spark, query_vec: list[float]) -> DataFrame:
+        """Distinct vec_ids sharing ≥1 band key with the query — a
+        pruned scan of exactly `bands` (band, key) buckets."""
+        import os
+
+        assert self.dim is not None, "index not built"
+        planes = _hyperplanes(self.dim, self.bits, self.seed)
+        qbits = (planes @ np.asarray(query_vec, dtype=np.float64)) > 0
+        qsig = int(sum(1 << i for i, b in enumerate(qbits) if b))
+        width = self.bits // self.bands
+        buckets = spark.read.parquet(os.path.join(self.path, "buckets"))
+        cond = None
+        for i in range(self.bands):
+            qband = (qsig >> (i * width)) & ((1 << width) - 1)
+            c = (F.col("band") == i) & (F.col("key") == qband)
+            cond = c if cond is None else (cond | c)
+        return buckets.filter(cond).select("vec_id").distinct()
+
+    def topk(self, spark, query_vec: list[float], k: int = 10) -> DataFrame:
+        import os
+
+        cands = self.candidates(spark, query_vec)
+        vecs = spark.read.parquet(os.path.join(self.path, "vectors"))
+        return cosine_topk(vecs.join(cands, "vec_id", "left_semi"), query_vec, k)
+
+
+def embedding_allpairs_exact(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col="vec_id",
+    vec_col="embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, cos) — EXACT all-pairs cosine ≥ threshold via a
+    self-join (no banding): O(n²) work, the small-n oracle/verification
+    twin of embedding_neardup_pairs.  Norms are precomputed per vector
+    so the pair stage does one dot product, not three."""
+    normed = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("e"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = normed.select(
+        F.col("vid").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = normed.select(
+        F.col("vid").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    id_col="vec_id",
+    vec_col="embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, cos) pairs with cosine ≥ threshold; candidates
+    from shared signature bands, exact-cosine verified."""
+    first = emb.select(vec_col).first()
+    dim = len(first[vec_col])
+    sigs = lsh_signatures(emb, dim, bits, seed, id_col, vec_col)
+    banded = _banded_keys(sigs, bits, bands)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "key"])

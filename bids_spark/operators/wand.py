@@ -444,7 +444,9 @@ class BlockedSearchEngine(BooleanEvaluator):
             matches = self._eval_bool(ast).orderBy(
                 F.desc("score"), F.asc("doc_id")
             ).limit(limit)
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        # constant partition key: ≤k rows, avoids the WindowExec
+        # no-partition warning (see planner.py rank note)
+        w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
         return matches.select(
             F.row_number().over(w).alias("rank"), "doc_id", "score"
         )

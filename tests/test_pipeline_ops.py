@@ -194,3 +194,45 @@ def test_ngram_jaccard_df_cap_semantics(planted):
     with max_shingle_df=1 every shared shingle is dropped → no pairs."""
     assert dd.ngram_jaccard_pairs(planted, n=3, threshold=0.0,
                                   max_shingle_df=1).count() == 0
+
+
+def test_lsh_ann_index_matches_adhoc(spark, emb, tmp_path):
+    """The pre-bucketed index uses the same planes/seed as the ad-hoc
+    scan, so candidates — and therefore the exact-rescored top-k —
+    must be identical."""
+    qv = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    idx = sim.LshAnnIndex(str(tmp_path / "ann")).build(emb)
+    got = [(r["rank"], r["vec_id"]) for r in idx.topk(spark, qv, 10).collect()]
+    want = [(r["rank"], r["vec_id"]) for r in sim.lsh_ann_topk(emb, qv, 10).collect()]
+    assert got == want
+
+
+def test_lsh_ann_index_prunes_scan(spark, emb, tmp_path):
+    """Candidate lookup must be a pruned scan: band is a partition
+    column (PartitionFilters) and key reaches the parquet row-group
+    stats (PushedFilters) — not a full pass over the signatures."""
+    qv = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    idx = sim.LshAnnIndex(str(tmp_path / "ann2")).build(emb)
+    plan = (
+        idx.candidates(spark, qv)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "key" in pushed, pushed
+
+
+def test_embedding_allpairs_exact_supersets_banded(spark, emb):
+    """Exact all-pairs is the ground truth: every banded pair appears
+    in it with the same cosine (banding may only MISS pairs)."""
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in sim.embedding_allpairs_exact(emb, threshold=0.4).collect()
+    }
+    banded = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in sim.embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    assert set(banded) <= set(exact)
+    for pair, c in banded.items():
+        assert abs(exact[pair] - c) < 1e-9
