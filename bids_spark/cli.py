@@ -8,6 +8,8 @@ Mirrors the reference CLI surface (/root/reference/bids/search.py):
                             positional index (the tantivy-writer
                             analogue); --search serves from it
     --index-parquet FILE    index a documents parquet (engine extension)
+    --pattern GLOB          filename filter for --index scans
+                            (bids-scan --pattern, scan.py:89-111)
     --search QUERY          run a query                  (search.py:104-134)
     --results N             top-k (default 10)           (search.py:20)
     --export FILE.zip       archive the dataset          (index.py:199-205)
@@ -70,13 +72,24 @@ def cmd_initialise() -> int:
     return 0
 
 
-def ingest_directory(spark: SparkSession, directory: str):
-    """Recursive scan → (doc_id, file_path, text) of BIDS JSON docs."""
-    pattern = os.path.join(directory, "**", "*")
+def ingest_directory(spark: SparkSession, directory: str, pattern: str = "*"):
+    """Recursive scan → (doc_id, file_path, text) of BIDS JSON docs.
+
+    `pattern` is a filename glob applied on top of the JSON/BIDS
+    filters — the mass-scan selection surface of the reference's
+    bids-scan (--pattern, /root/reference/bids/scan.py:89-111); its
+    executable-bit filter maps to a readability check here (the
+    web-scale analogue: skip what the crawler can't fetch)."""
+    import fnmatch
+
     files = [
         f
-        for f in _glob.glob(pattern, recursive=True)
-        if os.path.isfile(f) and not os.path.islink(f) and f.endswith(".json")
+        for f in _glob.glob(os.path.join(directory, "**", "*"), recursive=True)
+        if os.path.isfile(f)
+        and not os.path.islink(f)
+        and f.endswith(".json")
+        and fnmatch.fnmatch(os.path.basename(f), pattern)
+        and os.access(f, os.R_OK)
     ]
     if not files:
         return None
@@ -96,13 +109,18 @@ def _index_path() -> str:
     return os.path.join(dataset_dir(), "index")
 
 
-def cmd_index(spark: SparkSession, directory: str | None, parquet: str | None) -> int:
+def cmd_index(
+    spark: SparkSession,
+    directory: str | None,
+    parquet: str | None,
+    pattern: str = "*",
+) -> int:
     if parquet:
         docs = spark.read.parquet(parquet).select(
             "doc_id", F.col("text"), F.lit(None).cast("string").alias("file_path")
         )
     else:
-        docs = ingest_directory(spark, directory)
+        docs = ingest_directory(spark, directory, pattern)
         if docs is None:
             print(f"No indexable files under {directory}", file=sys.stderr)
             return 1
@@ -215,6 +233,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--initialise", action="store_true")
     p.add_argument("--index", metavar="DIR")
     p.add_argument("--index-parquet", metavar="FILE")
+    p.add_argument(
+        "--pattern", metavar="GLOB", default="*",
+        help="filename glob applied during --index directory scans "
+             "(bids-scan --pattern analogue)",
+    )
     p.add_argument("--search", metavar="QUERY")
     p.add_argument("--results", type=int, default=10)
     p.add_argument("--export", metavar="ZIP")
@@ -231,7 +254,7 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_import(a.import_)
         if a.index or a.index_parquet:
             spark = _get_spark(a.verbose)
-            return cmd_index(spark, a.index, a.index_parquet)
+            return cmd_index(spark, a.index, a.index_parquet, a.pattern)
         if a.search is not None:
             spark = _get_spark(a.verbose)
             return cmd_search(spark, a.search, a.results)

@@ -149,3 +149,13 @@ def test_cli_search_falls_back_on_unservable_index(tmp_path, corpus_dir):
     man_path.write_text(_json.dumps(man))
     r = _cli(env, "--search", "strcpy", "--results", "3")
     assert r.returncode == 0, r.stderr
+
+
+def test_ingest_pattern_filter(spark, corpus_dir):
+    """bids-scan --pattern analogue (scan.py:89-111): the filename glob
+    restricts the mass scan before any content sniffing."""
+    all_docs = ingest_directory(spark, corpus_dir).count()
+    only_bin0x = ingest_directory(spark, corpus_dir, pattern="bin0*.json").count()
+    assert 0 < only_bin0x < all_docs
+    none = ingest_directory(spark, corpus_dir, pattern="nope-*.json")
+    assert none is None
