@@ -52,6 +52,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": C.q_lang_id,
         "fingerprint": C.q_fingerprint,
         "dedup_exact": C.q_dedup_exact,
+        # webtext hygiene (Gopher/C4 recipes over derived lines)
+        "repetition_stats": C.q_repetition_stats,
+        "boilerplate_lines": C.q_boilerplate_lines,
+        "remove_boilerplate": C.q_remove_boilerplate,
+        "source_stats": C.q_source_stats,
+        "snippet": C.q_snippet,
         "ngram_jaccard": C.q_ngram_jaccard,
         "cosine_topk": C.q_cosine_topk,
         "media_metadata": C.q_media_metadata,
@@ -87,6 +93,11 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": C.SQL_LANG_ID,
         "fingerprint": C.SQL_FINGERPRINT,
         "dedup_exact": C.SQL_DEDUP_EXACT,
+        "repetition_stats": C.SQL_REPETITION_STATS,
+        "boilerplate_lines": C.SQL_BOILERPLATE_LINES,
+        "remove_boilerplate": C.SQL_REMOVE_BOILERPLATE,
+        "source_stats": C.SQL_SOURCE_STATS,
+        "snippet": C.snippet_sql(C._SNIPPET_TERMS, width=80, context=20),
         "ngram_jaccard": C.SQL_NGRAM_JACCARD,
         "cosine_topk": C.SQL_COSINE_TOPK,
         "media_metadata": C.SQL_MEDIA_METADATA,

@@ -12,6 +12,8 @@ Mirrors the reference CLI surface (/root/reference/bids/search.py):
                             (bids-scan --pattern, scan.py:89-111)
     --search QUERY          run a query                  (search.py:104-134)
     --results N             top-k (default 10)           (search.py:20)
+    --offset N              pagination: skip first N     (ui/results.py:188-215)
+    --snippets              highlight window per hit     (ui/results.py:325-344)
     --export FILE.zip       archive the dataset          (index.py:199-205)
     --import FILE.zip       restore a dataset            (index.py:207-213)
     --verbose               debug logging
@@ -153,7 +155,13 @@ def cmd_index(
     return 0
 
 
-def cmd_search(spark: SparkSession, query: str, limit: int) -> int:
+def cmd_search(
+    spark: SparkSession,
+    query: str,
+    limit: int,
+    offset: int = 0,
+    show_snippets: bool = False,
+) -> int:
     if not os.path.exists(_docs_path()):
         print("No dataset — run --index first", file=sys.stderr)
         return 1
@@ -179,13 +187,25 @@ def cmd_search(spark: SparkSession, query: str, limit: int) -> int:
     # reference quirk kept verbatim: over-fetch limit+PAGE_SIZE, drop
     # results whose CONTENT equals an earlier (higher-ranked) result,
     # truncate to limit (index.py:151-181)
-    fetched = eng.search(query, limit + PAGE_SIZE)
+    # pagination (reference UI pages the collected top-k 10/page,
+    # ui/results.py:188-215): over-fetch offset+limit+PAGE_SIZE once,
+    # slice after content-dedup — ≤ a page or two of extra rows.
+    fetched = eng.search(query, offset + limit + PAGE_SIZE)
     meta_cols = [c for c in ("file_path",) if c in docs.columns]
-    enriched = (
-        fetched.join(docs.select("doc_id", "text", *meta_cols), "doc_id")
-        .orderBy("rank")
-        .collect()
-    )
+    joined = fetched.join(docs.select("doc_id", "text", *meta_cols), "doc_id")
+    if show_snippets:
+        from bids_spark.operators.webtext import snippets
+        from bids_spark.plans.parser import parse_query, positive_terms
+
+        terms = positive_terms(parse_query(query))
+        if terms:
+            # display-layer: collapse whitespace so a snippet is one line
+            snips = snippets(joined, terms).select(
+                "doc_id",
+                F.regexp_replace("snippet", r"\s+", " ").alias("_snippet"),
+            )
+            joined = joined.join(snips, "doc_id", "left")
+    enriched = joined.orderBy("rank").collect()
     rows, seen = [], set()
     for r in enriched:
         key = r["text"]
@@ -193,15 +213,18 @@ def cmd_search(spark: SparkSession, query: str, limit: int) -> int:
             continue
         seen.add(key)
         rows.append(r)
-        if len(rows) >= limit:
+        if len(rows) >= offset + limit:
             break
+    rows = rows[offset:]
     if not rows:
         print("No results found")
         return 2
-    for i, r in enumerate(rows, 1):
+    for i, r in enumerate(rows, offset + 1):
         label = (r["file_path"] if meta_cols and r["file_path"] is not None
                  else f"doc_id={r['doc_id']}")
         print(f"{i}. Score: {r['score']:.4f} {label}")
+        if show_snippets and "_snippet" in r.__fields__ and r["_snippet"]:
+            print(f"   … {r['_snippet']} …")
     return 0
 
 
@@ -240,6 +263,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--search", metavar="QUERY")
     p.add_argument("--results", type=int, default=10)
+    p.add_argument(
+        "--offset", type=int, default=0,
+        help="skip the first N results (pagination; reference UI pages "
+             "10/page, ui/results.py:188-215)",
+    )
+    p.add_argument(
+        "--snippets", action="store_true",
+        help="show a highlight window around the earliest query-term hit "
+             "(ui/results.py:325-344 analogue)",
+    )
     p.add_argument("--export", metavar="ZIP")
     p.add_argument("--import", dest="import_", metavar="ZIP")
     p.add_argument("--verbose", action="store_true")
@@ -257,7 +290,10 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_index(spark, a.index, a.index_parquet, a.pattern)
         if a.search is not None:
             spark = _get_spark(a.verbose)
-            return cmd_search(spark, a.search, a.results)
+            return cmd_search(
+                spark, a.search, a.results, offset=a.offset,
+                show_snippets=a.snippets,
+            )
         p.print_help()
         return 1
     except Exception as e:  # reference: any error → exit 1 (search.py:137)

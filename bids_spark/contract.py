@@ -349,6 +349,7 @@ from bids_spark.operators import dedup as dd  # noqa: E402
 from bids_spark.operators import multimodal as mm  # noqa: E402
 from bids_spark.operators import similarity as sim  # noqa: E402
 from bids_spark.operators import textstats as ts  # noqa: E402
+from bids_spark.operators import webtext as wt  # noqa: E402
 from bids_spark.sources.corpus import load_embeddings  # noqa: E402
 
 # list CTE shared by token-position oracles
@@ -647,6 +648,155 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN h USING (doc_id)
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# webtext hygiene operators (operators/webtext.py) — Gopher/C4 recipes
+# ---------------------------------------------------------------------------
+
+# derived-lines CTE: token stream reflowed into LINE_TOKENS-token
+# chunks (the corpus has no newlines; see webtext.py docstring).
+_LINES_CTE = f"""
+{_LST_CTE},
+dl AS (
+  SELECT doc_id, p,
+         array_to_string(lst[(p-1)*3+1 : p*3], ' ') AS line
+  FROM base,
+       unnest(generate_series(1, CAST(ceil(len(lst)/3.0) AS BIGINT))) AS t(p)
+)
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    return wt.repetition_stats(load_documents(spark, sf_dir))
+
+
+def _gram_cte(n: int, tag: str) -> str:
+    return f"""
+g{tag} AS (
+  SELECT doc_id, array_to_string(lst[p : p+{n - 1}], ' ') AS gram
+  FROM base, unnest(generate_series(1, len(lst) - {n - 1})) AS t(p)
+),
+c{tag} AS (SELECT doc_id, gram, count(*) AS c FROM g{tag} GROUP BY 1, 2),
+t{tag} AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS frac
+           FROM c{tag} GROUP BY doc_id)
+"""
+
+
+SQL_REPETITION_STATS = f"""
+WITH {_LST_CTE},
+lines AS (
+  SELECT doc_id,
+         CASE WHEN len(lst) > 0 THEN
+           list_transform(
+             generate_series(1, CAST(ceil(len(lst)/3.0) AS BIGINT)),
+             p -> array_to_string(lst[(p-1)*3+1 : p*3], ' '))
+         ELSE [] END AS ls
+  FROM base
+),
+dup AS (
+  SELECT doc_id,
+         CASE WHEN len(ls) > 0
+              THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
+              ELSE 0.0 END AS dlf
+  FROM lines
+),
+{_gram_cte(2, '2').strip().rstrip(',')},
+{_gram_cte(3, '3').strip().rstrip(',')}
+SELECT d.doc_id,
+       round(coalesce(t2.frac, 0.0), 6) AS top_bigram_frac,
+       round(coalesce(t3.frac, 0.0), 6) AS top_trigram_frac,
+       round(dup.dlf, 6) AS dup_line_frac
+FROM documents d
+LEFT JOIN t2 USING (doc_id)
+LEFT JOIN t3 USING (doc_id)
+JOIN dup USING (doc_id)
+"""
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    return wt.boilerplate_lines(load_documents(spark, sf_dir), min_docs=3)
+
+
+SQL_BOILERPLATE_LINES = f"""
+WITH {_LINES_CTE.strip()}
+SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM dl GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+"""
+
+
+def q_remove_boilerplate(spark, sf_dir):
+    return wt.remove_boilerplate(load_documents(spark, sf_dir), min_docs=3)
+
+
+SQL_REMOVE_BOILERPLATE = f"""
+WITH {_LINES_CTE.strip()},
+boiler AS (
+  SELECT line FROM dl GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+),
+kept AS (SELECT * FROM dl WHERE line NOT IN (SELECT line FROM boiler)),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, ' ' ORDER BY p) AS ct
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM dl GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(tot.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+       sha256(coalesce(reb.ct, '')) AS clean_sha
+FROM documents d
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN reb USING (doc_id)
+"""
+
+
+def q_source_stats(spark, sf_dir):
+    return wt.source_stats(load_documents(spark, sf_dir))
+
+
+SQL_SOURCE_STATS = f"""
+WITH {_LST_CTE}
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
+       round(avg(len(b.lst)), 6) AS avg_tokens,
+       CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
+FROM documents d JOIN base b USING (doc_id)
+GROUP BY d.source
+"""
+
+_SNIPPET_TERMS = ["merge", "join"]
+
+
+def q_snippet(spark, sf_dir):
+    return wt.snippets(
+        load_documents(spark, sf_dir), _SNIPPET_TERMS, width=80, context=20
+    )
+
+
+def snippet_sql(terms: list[str], width: int = 80, context: int = 20) -> str:
+    sent = wt.ABSENT
+    pcols = ",\n    ".join(
+        f"CASE WHEN strpos(lower(text), '{t}') > 0"
+        f" THEN strpos(lower(text), '{t}') ELSE {sent} END AS p{i}"
+        for i, t in enumerate(terms)
+    )
+    least = "least(" + ", ".join(f"p{i}" for i in range(len(terms))) + ")"
+    match = " ".join(
+        f"WHEN p{i} = {least} THEN '{t}'" for i, t in enumerate(terms[:-1])
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, text,
+    {pcols}
+  FROM documents
+)
+SELECT doc_id, CAST({least} AS BIGINT) AS pos,
+       CASE {match} ELSE '{terms[-1]}' END AS matched_term,
+       substring(text, greatest({least} - {context}, 1), {width}) AS snippet
+FROM p WHERE {least} < {sent}
+"""
 
 
 def q_frame_sample(spark, sf_dir):

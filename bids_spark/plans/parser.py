@@ -221,3 +221,23 @@ def parse_query(q: str) -> Bool:
             else:
                 getattr(fixed, target).append(c)
     return fixed
+
+
+def positive_terms(node) -> list[str]:
+    """Every term that can MATCH (must + should, recursively), in
+    first-appearance order, deduped — the highlightable term set for
+    snippet generation (must_not terms never appear in a hit)."""
+    out: list[str] = []
+
+    def walk(n):
+        if isinstance(n, Term):
+            out.append(n.term)
+        elif isinstance(n, Phrase):
+            out.extend(n.terms)
+        elif isinstance(n, Bool):
+            for c in n.must + n.should:
+                walk(c)
+
+    walk(node)
+    seen: set[str] = set()
+    return [t for t in out if not (t in seen or seen.add(t))]

@@ -100,6 +100,20 @@ def test_cli_end_to_end(tmp_path, corpus_dir):
     score_str = first.split("Score: ")[1].split(" ")[0]
     assert len(score_str.split(".")[1]) == 4
 
+    # pagination: --offset 2 starts numbering (and results) at rank 3
+    full = [ln for ln in r.stdout.splitlines() if ". Score: " in ln]
+    r = _cli(env, "--search", "strcpy", "--results", "5", "--offset", "2")
+    assert r.returncode == 0, r.stderr
+    page = [ln for ln in r.stdout.splitlines() if ". Score: " in ln]
+    assert page and page[0].startswith("3. ")
+    assert page[0] == full[2]                    # same ranking, sliced
+
+    # snippets: a highlight window containing the query term
+    r = _cli(env, "--search", "strcpy", "--results", "2", "--snippets")
+    assert r.returncode == 0, r.stderr
+    snips = [ln for ln in r.stdout.splitlines() if ln.startswith("   … ")]
+    assert snips and any("strcpy" in s for s in snips)
+
     r = _cli(env, "--search", "zzznotavailable")
     assert r.returncode == 2                     # reference exit 2
 
