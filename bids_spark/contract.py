@@ -183,14 +183,14 @@ def q_bm25_phrase(spark, sf_dir):
 _BLOCKED_CACHE: dict[str, object] = {}
 
 
-def _content_fp(sf_dir: str) -> str:
-    """Cheap content fingerprint of the documents parquet (file names,
+def _content_fp(sf_dir: str, table: str = "documents") -> str:
+    """Cheap content fingerprint of an input parquet (file names,
     sizes, mtimes) — so a replaced input with the SAME row count still
     invalidates cached index dirs (stale-serve guard)."""
     import hashlib
     import os
 
-    p = os.path.join(sf_dir, "documents.parquet")
+    p = os.path.join(sf_dir, f"{table}.parquet")
     parts = []
     if os.path.isdir(p):
         for root, _dirs, files in os.walk(p):
@@ -558,6 +558,26 @@ def q_lsh_ann_topk(spark, sf_dir):
     emb = load_embeddings(spark, sf_dir)
     qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     return sim.lsh_ann_topk(emb, qv, 10)
+
+
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (rows-only: approximate by design;
+    recall property-tested against cosine_topk in pytest)."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = load_embeddings(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    key = sf_dir.rstrip("/") + "#ivf@" + _content_fp(sf_dir, "embeddings")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "bids_contract_ivf_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    idx = sim.IvfAnnIndex(d, n_cells=8, nprobe=3)
+    if idx.centroids is None:
+        idx.build(emb)
+    return idx.topk(spark, qv, 10)
 
 
 def q_embedding_neardup(spark, sf_dir):

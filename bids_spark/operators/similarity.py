@@ -9,6 +9,11 @@ r"""Similarity search over an embedding column (array<float>).
                       generation touches only co-bucketed vectors.
 - embedding_neardup:  all pairs with cosine ≥ τ via the same banding
                       (dedup by embedding).
+- LshAnnIndex:        pre-bucketed banded signatures (partition-pruned
+                      candidate lookup).
+- IvfAnnIndex:        inverted-file coarse quantizer — deterministic
+                      seeded centroids + one Lloyd step, vectors
+                      parquet-partitioned by cell, nprobe-pruned query.
 
 Determinism: hyperplanes are seeded; recall is property-tested against
 brute force in pytest (approximate ≠ oracle-matchable).
@@ -220,6 +225,125 @@ class LshAnnIndex:
         cands = self.candidates(spark, query_vec)
         vecs = spark.read.parquet(os.path.join(self.path, "vectors"))
         return cosine_topk(vecs.join(cands, "vec_id", "left_semi"), query_vec, k)
+
+
+class IvfAnnIndex:
+    """IVF (inverted-file) ANN: coarse quantizer + partition-pruned
+    probe — the classic scale path next to the LSH one (`LshAnnIndex`).
+
+    Training is deterministic and fully distributed:
+    - seeds: the `n_cells` vectors with the smallest xxhash64(vec_id)
+      (a deterministic corpus sample — one TakeOrdered, no RNG),
+    - one Lloyd refinement: every vector is assigned to its nearest
+      seed by cosine (n_cells literal dot products, JVM column math —
+      no UDF, no cross join), then cells are re-centred by the
+      element-wise mean (posexplode → groupBy(cell, idx) partial agg).
+
+    The index materializes vectors as parquet PARTITIONED BY cell; a
+    query ranks the n_cells centroids driver-side (numpy over a
+    kilobyte of metadata), reads only its `nprobe` cell directories
+    (directory-level PartitionFilters), and exact-cosine re-ranks the
+    probed subset.  At 10^12 vectors a query touches nprobe/n_cells of
+    the data instead of all of it; recall is property-tested against
+    brute force (approximate ⇒ no SQL oracle, same policy as LSH-ANN).
+    """
+
+    def __init__(self, path: str, n_cells: int = 16, nprobe: int = 4):
+        import json
+        import os
+
+        self.path = path
+        self.meta_path = os.path.join(path, "ivf_meta.json")
+        self.centroids: np.ndarray | None = None
+        if os.path.exists(self.meta_path):
+            with open(self.meta_path) as f:
+                m = json.load(f)
+            n_cells, nprobe = m["n_cells"], m["nprobe"]
+            self.centroids = np.asarray(m["centroids"], dtype=np.float64)
+        self.n_cells, self.nprobe = n_cells, nprobe
+
+    @staticmethod
+    def _nearest_cell(vec_col, centroids: np.ndarray):
+        """argmax-by-cosine over literal centroids as pure column math
+        (ties → lowest cell id).  Centroids are L2-normalized first so
+        cosine reduces to one dot product per cell."""
+        normed = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        best_cos, best_cell = F.lit(float("-inf")), F.lit(-1)
+        for ci in range(normed.shape[0]):
+            c = F.array(*[F.lit(float(x)) for x in normed[ci]])
+            cos = _dot(vec_col, c)
+            better = cos > best_cos
+            best_cell = F.when(better, F.lit(ci)).otherwise(best_cell)
+            best_cos = F.when(better, cos).otherwise(best_cos)
+        return best_cell
+
+    def build(
+        self, emb: DataFrame, id_col="vec_id", vec_col="embedding"
+    ) -> "IvfAnnIndex":
+        import json
+        import os
+
+        seeds_rows = (
+            emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("e"))
+            .orderBy(F.xxhash64(F.col("vid")))
+            .limit(self.n_cells)
+            .collect()
+        )
+        seeds = np.asarray([r["e"] for r in seeds_rows], dtype=np.float64)
+        assigned = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            self._nearest_cell(F.col(vec_col), seeds).alias("cell"),
+        )
+        # one Lloyd step: element-wise mean per cell, n_cells·dim rows
+        # of metadata to the driver (kilobytes at any corpus size)
+        means = (
+            assigned.select(
+                "cell", F.posexplode("embedding").alias("idx", "v")
+            )
+            .groupBy("cell", "idx")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        cents = seeds.copy()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["idx"]] = r["m"]
+        for ci, comps in by_cell.items():
+            cents[ci] = [comps[i] for i in range(len(comps))]
+        final = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            self._nearest_cell(F.col(vec_col), cents).alias("cell"),
+        )
+        (
+            final.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(self.path, "cells"))
+        )
+        self.centroids = cents
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"n_cells": self.n_cells, "nprobe": self.nprobe,
+                 "centroids": cents.tolist()},
+                f,
+            )
+        os.replace(tmp, self.meta_path)
+        return self
+
+    def topk(self, spark, query_vec: list[float], k: int = 10) -> DataFrame:
+        import os
+
+        assert self.centroids is not None, "index not built"
+        q = np.asarray(query_vec, dtype=np.float64)
+        cn = self.centroids / np.linalg.norm(self.centroids, axis=1, keepdims=True)
+        order = np.argsort(-(cn @ q), kind="stable")
+        probe = [int(c) for c in order[: self.nprobe]]
+        cells = spark.read.parquet(os.path.join(self.path, "cells"))
+        probed = cells.filter(F.col("cell").isin(probe))
+        return cosine_topk(probed, query_vec, k)
 
 
 def embedding_allpairs_exact(

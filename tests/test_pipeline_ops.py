@@ -236,3 +236,38 @@ def test_embedding_allpairs_exact_supersets_banded(spark, emb):
     assert set(banded) <= set(exact)
     for pair, c in banded.items():
         assert abs(exact[pair] - c) < 1e-9
+
+
+def test_ivf_ann_recall_and_pruning(spark, emb, tmp_path):
+    """IVF probe must (a) reach decent recall@10 vs brute force across
+    several queries, (b) scan only the probed cell partitions, and
+    (c) reload identically from its persisted metadata."""
+    idx = sim.IvfAnnIndex(str(tmp_path / "ivf"), n_cells=8, nprobe=3).build(emb)
+    hits = total = 0
+    for qid in (0, 7, 42):
+        qv = [float(x) for x in emb.filter(f"vec_id = {qid}").first()["embedding"]]
+        truth = {r["vec_id"] for r in sim.cosine_topk(emb, qv, 10).collect()}
+        got = {r["vec_id"] for r in idx.topk(spark, qv, 10).collect()}
+        hits += len(truth & got)
+        total += len(truth)
+        # the query vector itself lives in a probed cell → rank 1
+        assert qid in got
+    assert hits / total >= 0.5, f"recall@10 {hits}/{total}"
+    # partition pruning: cell is a partition column of the cells parquet
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    import os
+
+    cells = spark.read.parquet(os.path.join(str(tmp_path / "ivf"), "cells"))
+    from pyspark.sql import functions as F
+
+    plan = (
+        cells.filter(F.col("cell").isin([0, 1, 2]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+    # reload from meta: same centroids → same results
+    re = sim.IvfAnnIndex(str(tmp_path / "ivf"))
+    assert re.n_cells == 8 and re.nprobe == 3
+    got1 = [(r["rank"], r["vec_id"]) for r in idx.topk(spark, qv, 10).collect()]
+    got2 = [(r["rank"], r["vec_id"]) for r in re.topk(spark, qv, 10).collect()]
+    assert got1 == got2
