@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_boilerplate": C.q_remove_boilerplate,
         "source_stats": C.q_source_stats,
         "snippet": C.q_snippet,
+        # event-stream operators (batch twins of streaming/windows.py)
+        "windowed_counts": C.q_windowed_counts,
+        "sessionize": C.q_sessionize,
         "ngram_jaccard": C.q_ngram_jaccard,
         "cosine_topk": C.q_cosine_topk,
         "media_metadata": C.q_media_metadata,
@@ -99,6 +102,8 @@ def oracle_sql() -> dict[str, str]:
         "remove_boilerplate": C.SQL_REMOVE_BOILERPLATE,
         "source_stats": C.SQL_SOURCE_STATS,
         "snippet": C.snippet_sql(C._SNIPPET_TERMS, width=80, context=20),
+        "windowed_counts": C.SQL_WINDOWED_COUNTS,
+        "sessionize": C.SQL_SESSIONIZE,
         "ngram_jaccard": C.SQL_NGRAM_JACCARD,
         "cosine_topk": C.SQL_COSINE_TOPK,
         "media_metadata": C.SQL_MEDIA_METADATA,

@@ -349,6 +349,7 @@ from bids_spark.operators import dedup as dd  # noqa: E402
 from bids_spark.operators import multimodal as mm  # noqa: E402
 from bids_spark.operators import similarity as sim  # noqa: E402
 from bids_spark.operators import textstats as ts  # noqa: E402
+from bids_spark.operators import events as ev  # noqa: E402
 from bids_spark.operators import webtext as wt  # noqa: E402
 from bids_spark.sources.corpus import load_embeddings  # noqa: E402
 
@@ -816,6 +817,58 @@ SELECT doc_id, CAST({least} AS BIGINT) AS pos,
        CASE {match} ELSE '{terms[-1]}' END AS matched_term,
        substring(text, greatest({least} - {context}, 1), {width}) AS snippet
 FROM p WHERE {least} < {sent}
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-stream operators (operators/events.py)
+# ---------------------------------------------------------------------------
+
+
+def _load_events(spark, sf_dir):
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def q_windowed_counts(spark, sf_dir):
+    return ev.windowed_counts(_load_events(spark, sf_dir), "1 hour")
+
+
+# window start re-derived as integer floor arithmetic on epoch micros —
+# identical to Spark's epoch-aligned tumbling window, and free of
+# DuckDB time_bucket origin subtleties.
+SQL_WINDOWED_COUNTS = """
+SELECT CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) AS win_start,
+       event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    return ev.sessionize(_load_events(spark, sf_dir), gap_minutes=30)
+
+
+SQL_SESSIONIZE = """
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ev_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+),
+m AS (
+  SELECT user_id, ev_us,
+         sum(CASE WHEN prev_us IS NULL OR ev_us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ev_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM t
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       min(ev_us) AS sess_start_us, max(ev_us) AS sess_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM m GROUP BY user_id, session_no
 """
 
 

@@ -1,0 +1,103 @@
+"""Streaming twins of the event operators: batch/stream parity and
+watermark late-data semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from bids_spark.operators.events import sessionize, windowed_counts
+from bids_spark.streaming import windows as sw
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.slow
+def test_stream_windowed_parity(spark, tmp_path):
+    """complete-mode streaming agg over a 3-chunk landing dir must
+    equal the batch op over the full table (same expression tree)."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    land = str(tmp_path / "land")
+    for i in range(3):
+        ev.filter(f"event_id % 3 = {i}").write.mode("append").parquet(land)
+    stream = sw.read_events_stream(spark, land, max_files=2)
+    agg = sw.windowed_counts_stream(stream, "1 hour", "2 hours")
+    sw.run_to_memory(agg, "wc_complete", str(tmp_path / "ck"), "complete")
+    got = _rows(spark.table("wc_complete"))
+    want = _rows(windowed_counts(ev, "1 hour"))
+    assert got == want
+
+
+@pytest.mark.slow
+def test_stream_append_drops_late_rows(spark, tmp_path):
+    """append mode: a row older than the watermark is dropped — its
+    window never reaches the sink; closed in-time windows do."""
+    land, ck = str(tmp_path / "land"), str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    base = datetime(2024, 3, 1, 0, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(
+            [
+                (i, t, 1, "click", 1.0, "{}")
+                for i, t in enumerate(rows)
+            ],
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        ).write.mode("append").parquet(land)
+
+    # batch 1: events at hours 10..20 → watermark advances to 18:00
+    write([base + timedelta(hours=h) for h in range(10, 21)])
+    stream = sw.read_events_stream(spark, land)
+    agg = sw.windowed_counts_stream(stream, "1 hour", "2 hours")
+    sw.run_to_parquet(agg, out, ck)
+    # batch 2: one row at hour 2 — far below the 18:00 watermark
+    write([base + timedelta(hours=2)])
+    # batch 3: a fresh row at hour 30 pushes the watermark past all
+    # earlier windows so everything emittable flushes
+    write([base + timedelta(hours=30)])
+    stream2 = sw.read_events_stream(spark, land)
+    agg2 = sw.windowed_counts_stream(stream2, "1 hour", "2 hours")
+    sw.run_to_parquet(agg2, out, ck)
+
+    emitted = {r["win_start"] for r in spark.read.parquet(out).collect()}
+    from datetime import timezone
+
+    # wall clock pinned as UTC — matches the engine's NTZ epoch rule
+    h = lambda x: int(  # noqa: E731
+        (base + timedelta(hours=x)).replace(tzinfo=timezone.utc).timestamp()
+    )
+    assert h(10) in emitted and h(20) in emitted
+    assert h(2) not in emitted, "late row below watermark must be dropped"
+
+
+def test_sessionize_semantics(spark):
+    """Planted gaps: two users, one with a 31-min gap (2 sessions),
+    one continuous (1 session)."""
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, base, 100),
+        (2, base + timedelta(minutes=10), 100),
+        (3, base + timedelta(minutes=41, seconds=1), 100),  # gap > 30 min
+        (4, base + timedelta(minutes=50), 100),
+        (5, base, 200),
+        (6, base + timedelta(minutes=29), 200),
+    ]
+    ev = spark.createDataFrame(
+        [(i, t, u, "c", 0.0, "{}") for i, t, u in rows],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = {
+        (r["user_id"], r["session_no"]): r
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert len(out) == 3
+    assert out[(100, 1)]["n_events"] == 2
+    assert out[(100, 2)]["n_events"] == 2
+    assert out[(200, 1)]["n_events"] == 2
+    s2 = out[(100, 2)]
+    assert s2["sess_end_us"] - s2["sess_start_us"] == (50 - 41) * 60_000_000 - 1_000_000
