@@ -30,28 +30,34 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def pin_utc(ts: Column) -> Column:
+    """TIMESTAMP_NTZ wall clock → TIMESTAMP instant, pinning the wall
+    clock AS UTC (parquet timestamps load as NTZ in Spark 4).  Apply
+    exactly ONCE: on an already-LTZ column under a non-UTC session this
+    would shift the instant."""
+    return F.to_utc_timestamp(ts, "UTC")
+
+
 def _epoch_us(ts: Column) -> Column:
-    """Epoch microseconds of a TIMESTAMP_NTZ wall clock, independent of
-    the session timezone (parquet timestamps load as NTZ in Spark 4):
-    to_utc_timestamp(ntz, 'UTC') pins the wall clock AS UTC, matching
-    DuckDB's epoch_us on naive timestamps."""
-    return F.unix_micros(F.to_utc_timestamp(ts, "UTC"))
+    """Epoch microseconds of an NTZ wall clock, independent of the
+    session timezone — matches DuckDB's epoch_us on naive timestamps."""
+    return F.unix_micros(pin_utc(ts))
 
 
-def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
-    """(win_start unix-sec, event_type, n_events, sum_value) per
-    tumbling window.  Window boundaries are epoch-aligned on the wall
-    clock (NTZ) — timezone-independent."""
+def windowed_agg(events: DataFrame, ts_col: str, window: str) -> DataFrame:
+    """Tumbling-window agg over an already-pinned TIMESTAMP column —
+    the expression tree shared verbatim by the batch and streaming
+    paths (streaming watermarks `ts_col` before calling this)."""
     return (
         events.groupBy(
-            F.window("ts", window).alias("w"), "event_type"
+            F.window(ts_col, window).alias("w"), "event_type"
         )
         .agg(
             F.count("*").cast("long").alias("n_events"),
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
         .select(
-            (_epoch_us(F.col("w.start")) / F.lit(1_000_000))
+            (F.unix_micros(F.col("w.start")) / F.lit(1_000_000))
             .cast("long")
             .alias("win_start"),
             "event_type",
@@ -59,6 +65,14 @@ def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
             "sum_value",
         )
     )
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """(win_start unix-sec, event_type, n_events, sum_value) per
+    tumbling window.  Window boundaries are epoch-aligned on the wall
+    clock — timezone-independent."""
+    pinned = events.withColumn("_ts_utc", pin_utc(F.col("ts")))
+    return windowed_agg(pinned, "_ts_utc", window)
 
 
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

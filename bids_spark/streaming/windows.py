@@ -21,10 +21,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bids_spark.operators.events import windowed_counts
+from pyspark.sql import functions as F
 
+from bids_spark.operators.events import pin_utc, windowed_agg
+
+# ts is TIMESTAMP_NTZ — matches what spark.read.parquet infers for the
+# events table, so batch and stream share one epoch rule (events._epoch_us)
 EVENTS_SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -41,8 +45,13 @@ def read_events_stream(
 def windowed_counts_stream(
     stream_df: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
-    """Same aggregation as the batch op, on a watermarked stream."""
-    return windowed_counts(stream_df.withWatermark("ts", watermark), window)
+    """Same aggregation as the batch op, on a watermarked stream.
+    Watermarks require a TIMESTAMP (ltz) column, so the NTZ wall clock
+    is pinned as UTC first — the exact rule the batch op applies."""
+    pinned = stream_df.withColumn("_ts_utc", pin_utc(F.col("ts")))
+    return windowed_agg(
+        pinned.withWatermark("_ts_utc", watermark), "_ts_utc", window
+    )
 
 
 def run_to_memory(

@@ -101,3 +101,46 @@ def test_sessionize_semantics(spark):
     assert out[(200, 1)]["n_events"] == 2
     s2 = out[(100, 2)]
     assert s2["sess_end_us"] - s2["sess_start_us"] == (50 - 41) * 60_000_000 - 1_000_000
+
+
+@pytest.mark.slow
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: after an epilogue event
+    pushes the watermark past every real session's timeout, the set of
+    emitted sessions equals the batch sessionize output exactly."""
+    from bids_spark.streaming import sessions as ss
+    from bids_spark.streaming import windows as sw
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").cache()
+    land, ck, out = (str(tmp_path / d) for d in ("land", "ck", "out"))
+    # time-ordered chunks, one file each → deterministic micro-batch order
+    lo, hi = ev.selectExpr("min(ts)", "max(ts)").first()
+    span = (hi - lo) / 3
+    for i in range(3):
+        chunk = ev.filter(
+            (ev.ts >= lo + i * span)
+            & (ev.ts < (lo + (i + 1) * span if i < 2 else hi + span))
+        )
+        chunk.coalesce(1).write.mode("append").parquet(land)
+    stream = sw.read_events_stream(spark, land, max_files=1)
+    agg = ss.sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+    sw.run_to_parquet(agg, out, ck)
+
+    # epilogue: dummy user far in the future → every real session
+    # times out and emits in the second drain
+    from datetime import timedelta
+
+    spark.createDataFrame(
+        [(999999, hi + timedelta(days=10), 999999, "x", 0.0, "{}")],
+        sw.EVENTS_SCHEMA,
+    ).write.mode("append").parquet(land)
+    stream2 = sw.read_events_stream(spark, land, max_files=1)
+    agg2 = ss.sessionize_stream(stream2, gap_minutes=30, watermark="1 hour")
+    sw.run_to_parquet(agg2, out, ck)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out).filter("user_id != 999999").collect()
+    )
+    want = sorted(tuple(r) for r in sessionize(ev, gap_minutes=30).collect())
+    assert got == want
