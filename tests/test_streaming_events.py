@@ -144,3 +144,27 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in sessionize(ev, gap_minutes=30).collect())
     assert got == want
+
+
+def test_sessionize_single_shuffle_plan(spark):
+    """The whole sessionize dataflow must reuse ONE hash-partitioning
+    on user_id: windows + final aggregate, no second Exchange."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = (
+        sessionize(ev)._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_windowed_counts_partial_agg_plan(spark):
+    """Map-side combine: HashAggregate below the single Exchange."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = (
+        windowed_counts(ev)._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "HashAggregate" in plan.split("Exchange")[-1]
