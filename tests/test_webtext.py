@@ -111,3 +111,18 @@ def test_source_stats_shape(spark):
     assert out["sA"]["n_docs"] == 2 and out["sA"]["n_langs"] == 2
     assert out["sA"]["avg_tokens"] == 2.5
     assert out["sB"]["total_chars"] == 3
+
+
+def test_boilerplate_conservation_on_corpus(spark, docs):
+    """Corpus-level invariants on real data: every doc appears exactly
+    once in remove_boilerplate; kept+removed line counts reconcile with
+    the boilerplate dictionary's occurrence totals."""
+    out = wt.remove_boilerplate(docs).collect()
+    assert len(out) == docs.count()
+    total_lines = sum(r["n_lines"] for r in out)
+    total_kept = sum(r["n_kept"] for r in out)
+    boiler_occ = sum(
+        r["n_occurrences"] for r in wt.boilerplate_lines(docs).collect()
+    )
+    assert total_lines - total_kept == boiler_occ
+    assert all(0 <= r["n_kept"] <= r["n_lines"] for r in out)
