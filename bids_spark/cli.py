@@ -10,6 +10,11 @@ Mirrors the reference CLI surface (/root/reference/bids/search.py):
     --index-parquet FILE    index a documents parquet (engine extension)
     --pattern GLOB          filename filter for --index scans
                             (bids-scan --pattern, scan.py:89-111)
+    --append DIR            incremental add: one new segment, no rebuild
+    --append-parquet FILE   (reference add-then-commit flow,
+                            playground/example/indexer.py:90-105)
+    --delete-doc ID [ID..]  tombstone docs (stop matching immediately)
+    --compact               merge segments, purge tombstones
     --search QUERY          run a query                  (search.py:104-134)
     --results N             top-k (default 10)           (search.py:20)
     --offset N              pagination: skip first N     (ui/results.py:188-215)
@@ -128,6 +133,9 @@ def cmd_index(
             return 1
     mode = "append" if os.path.exists(_docs_path()) else "overwrite"
     docs.write.mode(mode).parquet(_docs_path())
+    # --index is a full (re)build: clear any segmented state so the
+    # fresh blocked index — not stale segments — serves searches
+    shutil.rmtree(_segments_path(), ignore_errors=True)
     # build the real (blocked, compressed, positional) index at --index
     # time, like the reference's tantivy writer (index.py:121-143);
     # resumable via manifest.  Append ⇒ doc count changes ⇒ fingerprint
@@ -155,6 +163,85 @@ def cmd_index(
     return 0
 
 
+def _segments_path() -> str:
+    return os.path.join(dataset_dir(), "segments")
+
+
+def cmd_append(
+    spark: SparkSession,
+    directory: str | None,
+    parquet: str | None,
+    pattern: str = "*",
+) -> int:
+    """Incremental add: ONE new immutable segment per invocation (the
+    reference's add-then-commit flow, playground/example/indexer.py:
+    90-105) — no rebuild of existing segments.  A dataset previously
+    built with --index is bootstrapped by converting its documents
+    into segment 0 first (one-time cost)."""
+    from bids_spark.operators.segments import SegmentedIndex
+
+    if parquet:
+        docs = spark.read.parquet(parquet).select(
+            "doc_id", F.col("text"), F.lit(None).cast("string").alias("file_path")
+        )
+    else:
+        docs = ingest_directory(spark, directory, pattern)
+        if docs is None:
+            print(f"No indexable files under {directory}", file=sys.stderr)
+            return 1
+    si = SegmentedIndex(_segments_path())
+    if not si.segment_paths() and os.path.exists(_docs_path()):
+        old = spark.read.parquet(_docs_path())
+        si.add_segment(
+            old.select("doc_id", "text"), fingerprint="cli-bootstrap"
+        )
+    docs.write.mode("append" if os.path.exists(_docs_path()) else "overwrite").parquet(
+        _docs_path()
+    )
+    n_seg = len(si.segment_paths())
+    si.add_segment(
+        docs.select("doc_id", "text"), fingerprint=f"cli-append-{n_seg}"
+    )
+    n = spark.read.parquet(_docs_path()).count()
+    print(
+        f"Appended segment {n_seg + 1}: dataset now holds {n} documents "
+        f"in {len(si.segment_paths())} segments"
+    )
+    return 0
+
+
+def cmd_delete(spark: SparkSession, doc_ids: list[int]) -> int:
+    """Tombstone documents (Lucene pre-merge semantics: they stop
+    matching immediately; survivors' scores unchanged until compact)."""
+    from bids_spark.operators.segments import SegmentedIndex
+
+    si = SegmentedIndex(_segments_path())
+    if not si.segment_paths():
+        print(
+            "delete requires a segmented dataset — build one with --append",
+            file=sys.stderr,
+        )
+        return 1
+    si.delete_docs(spark, doc_ids)
+    print(f"Deleted {len(doc_ids)} document(s)")
+    return 0
+
+
+def cmd_compact(spark: SparkSession) -> int:
+    """Merge all segments into one and purge tombstones (tantivy's
+    background merge, on demand)."""
+    from bids_spark.operators.segments import SegmentedIndex
+
+    si = SegmentedIndex(_segments_path())
+    before = len(si.segment_paths())
+    if before == 0:
+        print("No segments to compact", file=sys.stderr)
+        return 1
+    si.compact(spark)
+    print(f"Compacted {before} segment(s) into 1")
+    return 0
+
+
 def cmd_search(
     spark: SparkSession,
     query: str,
@@ -168,9 +255,15 @@ def cmd_search(
     PAGE_SIZE = 10  # reference over-fetch (index.py:21,155-157)
     docs = spark.read.parquet(_docs_path())
     from bids_spark.operators.blocked_index import BlockedIndex
+    from bids_spark.operators.segments import SegmentedIndex
 
+    si = SegmentedIndex(_segments_path())
     bi = BlockedIndex(_index_path())
-    if bi.is_servable():
+    if si.segment_paths():
+        # segmented dataset (--append/--delete-doc flow) takes priority:
+        # exact global BM25 over the committed segment set + tombstones
+        eng = si.engine(spark)
+    elif bi.is_servable():
         # serve from the prebuilt blocked index (the scale path).
         # is_servable gates on the manifest recording blocks+terms done
         # with the CURRENT format tag: an interrupted --index or an
@@ -261,6 +354,19 @@ def main(argv: list[str] | None = None) -> int:
         help="filename glob applied during --index directory scans "
              "(bids-scan --pattern analogue)",
     )
+    p.add_argument(
+        "--append", metavar="DIR",
+        help="incremental add: index DIR as ONE new segment (no rebuild)",
+    )
+    p.add_argument("--append-parquet", metavar="FILE")
+    p.add_argument(
+        "--delete-doc", type=int, nargs="+", metavar="ID",
+        help="tombstone doc ids (segmented datasets; purged by --compact)",
+    )
+    p.add_argument(
+        "--compact", action="store_true",
+        help="merge all segments into one, purging tombstones",
+    )
     p.add_argument("--search", metavar="QUERY")
     p.add_argument("--results", type=int, default=10)
     p.add_argument(
@@ -288,6 +394,15 @@ def main(argv: list[str] | None = None) -> int:
         if a.index or a.index_parquet:
             spark = _get_spark(a.verbose)
             return cmd_index(spark, a.index, a.index_parquet, a.pattern)
+        if a.append or a.append_parquet:
+            spark = _get_spark(a.verbose)
+            return cmd_append(spark, a.append, a.append_parquet, a.pattern)
+        if a.delete_doc:
+            spark = _get_spark(a.verbose)
+            return cmd_delete(spark, a.delete_doc)
+        if a.compact:
+            spark = _get_spark(a.verbose)
+            return cmd_compact(spark)
         if a.search is not None:
             spark = _get_spark(a.verbose)
             return cmd_search(

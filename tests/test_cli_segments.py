@@ -1,0 +1,84 @@
+"""CLI lifecycle test for the segmented append/delete/compact flow."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cli(env, *args):
+    return subprocess.run(
+        [sys.executable, "-m", "bids_spark.cli", *args],
+        capture_output=True, text=True, env=env, cwd=REPO,
+    )
+
+
+def _hits(stdout: str) -> list[int]:
+    return [
+        int(ln.split("doc_id=")[1])
+        for ln in stdout.splitlines()
+        if "doc_id=" in ln
+    ]
+
+
+@pytest.mark.slow
+def test_cli_append_delete_compact(tmp_path, spark):
+    """--index → --append bootstraps segments and finds new docs;
+    --delete-doc removes a hit without disturbing others; --compact
+    preserves results in one segment."""
+    env = dict(os.environ,
+               BIDS_DATASET=str(tmp_path / "ds"),
+               BIDS_SPARK_CLI_CORES="4",
+               PYTHONPATH=REPO)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old_pq = str(tmp_path / "old.parquet")
+    new_pq = str(tmp_path / "new.parquet")
+    docs.filter("doc_id < 400").select("doc_id", "text").write.parquet(old_pq)
+    # appended docs: fresh ids, one crafted to rank top for the query
+    spark.createDataFrame(
+        [(100001, "zebraword zebraword zebraword"),
+         (100002, "plain filler text entirely unrelated")],
+        "doc_id long, text string",
+    ).write.parquet(new_pq)
+
+    assert _cli(env, "--initialise").returncode == 0
+    r = _cli(env, "--index-parquet", old_pq)
+    assert r.returncode == 0, r.stderr
+    # term absent before append
+    assert _cli(env, "--search", "zebraword").returncode == 2
+
+    r = _cli(env, "--append-parquet", new_pq)
+    assert r.returncode == 0, r.stderr
+    assert "2 segments" in r.stdout
+    r = _cli(env, "--search", "zebraword")
+    assert r.returncode == 0, r.stderr
+    assert _hits(r.stdout) == [100001]
+    # old docs still served (segment 0 bootstrap)
+    r = _cli(env, "--search", "merge join", "--results", "5")
+    assert r.returncode == 0 and len(_hits(r.stdout)) == 5
+    baseline = r.stdout
+
+    # delete the zebraword doc: stops matching; other results unchanged
+    assert _cli(env, "--delete-doc", "100001").returncode == 0
+    assert _cli(env, "--search", "zebraword").returncode == 2
+    r = _cli(env, "--search", "merge join", "--results", "5")
+    assert r.stdout == baseline
+
+    # compact: one segment, tombstones purged, results preserved
+    r = _cli(env, "--compact")
+    assert r.returncode == 0, r.stderr
+    r = _cli(env, "--search", "merge join", "--results", "5")
+    assert _hits(r.stdout) == _hits(baseline)
+    assert _cli(env, "--search", "zebraword").returncode == 2
+
+    # delete on a non-segmented dataset errors cleanly
+    env2 = dict(env, BIDS_DATASET=str(tmp_path / "ds2"))
+    _cli(env2, "--initialise")
+    _cli(env2, "--index-parquet", old_pq)
+    r = _cli(env2, "--delete-doc", "1")
+    assert r.returncode == 1 and "segmented" in r.stderr
