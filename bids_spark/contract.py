@@ -377,11 +377,13 @@ SQL_TOKEN_COUNT = f"""
 WITH {_LST_CTE},
 ws AS (
   SELECT doc_id,
-         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_ws
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_ws,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS n_bpe
   FROM documents
 )
 SELECT b.doc_id, CAST(len(b.lst) AS BIGINT) AS n_tokens,
-       CAST(ws.n_ws AS BIGINT) AS n_ws_tokens
+       CAST(ws.n_ws AS BIGINT) AS n_ws_tokens,
+       CAST(ws.n_bpe AS BIGINT) AS n_bpe_ish
 FROM base b JOIN ws USING (doc_id)
 """
 

@@ -35,13 +35,24 @@ STOPWORDS = {
 }
 
 
+# BPE-style pre-tokenization classes (letters / digits / punct runs),
+# lookahead-free so Java regex (Spark) and RE2 (DuckDB) agree exactly —
+# approximates a GPT-2-style byte-pair pre-split for token budgeting
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
 def token_count(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Per-doc token budgets under three tokenizers: the index
+    tokenizer, whitespace, and a BPE-ish pre-split (the count an LLM
+    data pipeline budgets against)."""
     toks = tokenize_text(text_col)
     ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
+    bpe = F.regexp_count(F.col(text_col), F.lit(BPE_ISH_RE))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(ws).cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_ish"),
     )
 
 
