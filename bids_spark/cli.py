@@ -133,8 +133,19 @@ def cmd_index(
             return 1
     mode = "append" if os.path.exists(_docs_path()) else "overwrite"
     docs.write.mode(mode).parquet(_docs_path())
-    # --index is a full (re)build: clear any segmented state so the
-    # fresh blocked index — not stale segments — serves searches
+    # --index is a full (re)build.  Honour pending tombstones FIRST:
+    # the docs store still holds deleted rows, and rebuilding from it
+    # would silently resurrect them — rewrite the store without them,
+    # then clear segmented state so the fresh blocked index serves.
+    from bids_spark.operators.segments import SegmentedIndex
+
+    tomb = SegmentedIndex(_segments_path()).tombstones(spark)
+    if tomb is not None:
+        kept = spark.read.parquet(_docs_path()).join(tomb, "doc_id", "left_anti")
+        tmp = _docs_path() + ".tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(_docs_path())
+        os.rename(tmp, _docs_path())
     shutil.rmtree(_segments_path(), ignore_errors=True)
     # build the real (blocked, compressed, positional) index at --index
     # time, like the reference's tantivy writer (index.py:121-143);
@@ -199,8 +210,15 @@ def cmd_append(
         _docs_path()
     )
     n_seg = len(si.segment_paths())
+    # content-derived fingerprint: a retried append after a crash must
+    # NOT resume a partial manifest that was built from different docs
+    st = docs.agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("s"),
+        F.sum(F.length("text")).alias("b"),
+    ).first()
     si.add_segment(
-        docs.select("doc_id", "text"), fingerprint=f"cli-append-{n_seg}"
+        docs.select("doc_id", "text"),
+        fingerprint=f"cli-append-{st['n']}-{st['s']}-{st['b']}",
     )
     n = spark.read.parquet(_docs_path()).count()
     print(
@@ -237,6 +255,21 @@ def cmd_compact(spark: SparkSession) -> int:
     if before == 0:
         print("No segments to compact", file=sys.stderr)
         return 1
+    tomb = si.tombstones(spark)
+    if before == 1 and tomb is None:
+        print("Already compact (1 segment, no tombstones)")
+        return 0
+    if tomb is not None and os.path.exists(_docs_path()):
+        # purge tombstoned rows from the document STORE too — compact
+        # clears the tombstone list, so this is the last moment the
+        # deleted ids are known; a later --index rebuild must not
+        # resurrect them from the store (Lucene merge = stored fields
+        # of deleted docs dropped)
+        kept = spark.read.parquet(_docs_path()).join(tomb, "doc_id", "left_anti")
+        tmp = _docs_path() + ".tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(_docs_path())
+        os.rename(tmp, _docs_path())
     si.compact(spark)
     print(f"Compacted {before} segment(s) into 1")
     return 0
@@ -287,17 +320,20 @@ def cmd_search(
     meta_cols = [c for c in ("file_path",) if c in docs.columns]
     joined = fetched.join(docs.select("doc_id", "text", *meta_cols), "doc_id")
     if show_snippets:
-        from bids_spark.operators.webtext import snippets
+        from bids_spark.operators.webtext import ABSENT, snippet_exprs
         from bids_spark.plans.parser import parse_query, positive_terms
 
         terms = positive_terms(parse_query(query))
         if terms:
-            # display-layer: collapse whitespace so a snippet is one line
-            snips = snippets(joined, terms).select(
-                "doc_id",
-                F.regexp_replace("snippet", r"\s+", " ").alias("_snippet"),
+            # appended in the SAME select — no self-join, the search
+            # subtree executes once; collapse whitespace for display
+            pos, _m, snippet = snippet_exprs(terms)
+            joined = joined.withColumn(
+                "_snippet",
+                F.when(
+                    pos < ABSENT, F.regexp_replace(snippet, r"\s+", " ")
+                ),
             )
-            joined = joined.join(snips, "doc_id", "left")
     enriched = joined.orderBy("rank").collect()
     rows, seen = [], set()
     for r in enriched:

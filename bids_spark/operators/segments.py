@@ -135,7 +135,16 @@ class SegmentedIndex:
         build_kwargs.setdefault("with_positions", True)
         c = self._committed()
         if name is None:
-            name = f"seg-{len(c['segments']):04d}"
+            # collision-free default: count-based start, but never reuse
+            # an EXISTING directory (committed or not) — after a
+            # compaction the committed count drops below the highest
+            # on-disk number, and a crashed build may have left a
+            # partial dir whose stale manifest must not be resumed
+            # under a different doc set
+            i = len(c["segments"])
+            while os.path.exists(os.path.join(self.root, f"seg-{i:04d}")):
+                i += 1
+            name = f"seg-{i:04d}"
         assert name.startswith("seg-")
         seg_dir = os.path.join(self.root, name)
         bi = BlockedIndex(seg_dir)
@@ -229,7 +238,10 @@ class SegmentedIndex:
         if self._read_commit() is None:
             self._write_commit(pre["segments"], pre["tombstones"])
         seg_paths = self.segment_paths()
-        assert len(seg_paths) >= 2, "nothing to compact"
+        # a single segment is compactable when tombstones need purging
+        assert seg_paths and (
+            len(seg_paths) >= 2 or pre["tombstones"]
+        ), "nothing to compact"
         segs = [BlockedIndex(p) for p in seg_paths]
         mans = [s._manifest()["stages"]["blocks"] for s in segs]
         with_pos = all(bool(m.get("with_positions")) for m in mans)
@@ -237,6 +249,15 @@ class SegmentedIndex:
         tomb = self.tombstones(spark)
 
         name = f"seg-merged-{len(seg_paths):04d}-{os.path.basename(seg_paths[-1])}"
+        # never build into an existing directory (repeated compactions
+        # can regenerate the same name once merged segments feed merges)
+        i = 1
+        while os.path.exists(os.path.join(self.root, name)):
+            i += 1
+            name = (
+                f"seg-merged-{len(seg_paths):04d}-"
+                f"{os.path.basename(seg_paths[-1])}-{i}"
+            )
         dst = BlockedIndex(os.path.join(self.root, name))
         # base_fp feeds dst.build below, which appends "+pos" itself —
         # fp here must mirror that so the staged unions are recognized
@@ -293,12 +314,16 @@ class SegmentedIndex:
             # never both, never double-counted
             self._write_commit([name], [])
             for p in seg_paths:
-                os.rename(
-                    p,
-                    os.path.join(
-                        os.path.dirname(p), "old-" + os.path.basename(p)
-                    ),
+                # unique retired name: a segment number can be reused
+                # across compaction cycles, so "old-<name>" may exist
+                base = os.path.join(
+                    os.path.dirname(p), "old-" + os.path.basename(p)
                 )
+                retired, k = base, 1
+                while os.path.exists(retired):
+                    k += 1
+                    retired = f"{base}-{k}"
+                os.rename(p, retired)
         return dst
 
 

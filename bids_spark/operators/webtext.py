@@ -213,6 +213,34 @@ def source_stats(
     )
 
 
+def snippet_exprs(
+    terms: list[str],
+    text_col: str = "text",
+    width: int = 80,
+    context: int = 20,
+) -> tuple[Column, Column, Column]:
+    """(pos, matched_term, snippet) column expressions — pos==ABSENT
+    when no term occurs.  Exposed separately so callers holding an
+    expensive DataFrame (e.g. a search result join) can append the
+    columns in ONE select instead of re-executing their subtree
+    through a snippets() self-join."""
+    if not terms:
+        raise ValueError("snippet_exprs() needs at least one term")
+    low = F.lower(F.col(text_col))
+    pos_cols = [
+        F.when(F.locate(t.lower(), low) > 0, F.locate(t.lower(), low))
+        .otherwise(F.lit(ABSENT))
+        for t in terms
+    ]
+    best = pos_cols[0] if len(terms) == 1 else F.least(*pos_cols)
+    matched = F.lit(terms[-1])
+    for t, p in reversed(list(zip(terms[:-1], pos_cols[:-1]))):
+        matched = F.when(p == best, F.lit(t)).otherwise(matched)
+    start = F.greatest(best - F.lit(context), F.lit(1))
+    snippet = F.substring(F.col(text_col), start, width)
+    return best.cast("long"), matched, snippet
+
+
 def snippets(
     docs: DataFrame,
     terms: list[str],
@@ -230,27 +258,10 @@ def snippets(
     Pure column expressions (locate/substring) — codegen end-to-end;
     at scale this runs over the ≤k hit rows joined back to stored
     fields, so cost is negligible."""
-    if not terms:
-        raise ValueError("snippets() needs at least one term")
-    low = F.lower(F.col(text_col))
-    pos_cols = [
-        F.when(F.locate(t.lower(), low) > 0, F.locate(t.lower(), low))
-        .otherwise(F.lit(ABSENT))
-        .alias(f"_p{i}")
-        for i, t in enumerate(terms)
-    ]
-    best = pos_cols[0] if len(terms) == 1 else F.least(*pos_cols)
-    matched = F.lit(terms[-1])
-    for t, p in reversed(list(zip(terms[:-1], pos_cols[:-1]))):
-        matched = F.when(p == best, F.lit(t)).otherwise(matched)
-    start = F.greatest(best - F.lit(context), F.lit(1))
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            best.alias("pos"),
-            matched.alias("matched_term"),
-            F.substring(F.col(text_col), start, width).alias("snippet"),
-        )
-        .where(F.col("pos") < ABSENT)
-        .select("doc_id", F.col("pos").cast("long").alias("pos"), "matched_term", "snippet")
-    )
+    pos, matched, snippet = snippet_exprs(terms, text_col, width, context)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        pos.alias("pos"),
+        matched.alias("matched_term"),
+        snippet.alias("snippet"),
+    ).where(F.col("pos") < ABSENT)

@@ -175,6 +175,11 @@ class _Parser:
         if kind == "word":
             if ":" in val:
                 fld, _, rest = val.partition(":")
+                if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", fld):
+                    # colon-bearing text that is NOT field syntax
+                    # ("12:30", "http://…") tokenizes as plain terms —
+                    # only identifier-shaped prefixes are field scopes
+                    return self._tokens_atom(val)
                 if fld.lower() not in FIELDS:
                     raise ValueError(
                         f"unknown field '{fld}' in query "

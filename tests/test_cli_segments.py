@@ -76,6 +76,30 @@ def test_cli_append_delete_compact(tmp_path, spark):
     assert _hits(r.stdout) == _hits(baseline)
     assert _cli(env, "--search", "zebraword").returncode == 2
 
+    # second lifecycle round on the SAME dataset: segment numbering
+    # must not collide with retired directories (post-compaction name
+    # reuse) and a second compact must not trip over old-* renames
+    new2_pq = str(tmp_path / "new2.parquet")
+    spark.createDataFrame(
+        [(100003, "gryphonword gryphonword unique")],
+        "doc_id long, text string",
+    ).write.parquet(new2_pq)
+    r = _cli(env, "--append-parquet", new2_pq)
+    assert r.returncode == 0, r.stderr
+    r = _cli(env, "--search", "gryphonword")
+    assert r.returncode == 0 and _hits(r.stdout) == [100003]
+    # single-segment dataset + tombstone → compact must purge, and the
+    # deleted doc must NOT be resurrected by a later full --index
+    assert _cli(env, "--delete-doc", "100003").returncode == 0
+    r = _cli(env, "--compact")
+    assert r.returncode == 0, r.stderr
+    assert _cli(env, "--search", "gryphonword").returncode == 2
+    r = _cli(env, "--index-parquet", new_pq)  # full rebuild from store
+    assert r.returncode == 0, r.stderr
+    assert _cli(env, "--search", "gryphonword").returncode == 2, (
+        "deleted doc resurrected by --index rebuild"
+    )
+
     # delete on a non-segmented dataset errors cleanly
     env2 = dict(env, BIDS_DATASET=str(tmp_path / "ds2"))
     _cli(env2, "--initialise")

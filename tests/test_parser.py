@@ -84,3 +84,22 @@ def test_unknown_field_raises():
         parse_query("title:merge")
     with pytest.raises(ValueError, match="unknown field"):
         parse_query("data OR body:stuff")
+
+
+def test_colon_words_that_are_not_fields_stay_terms():
+    """Times/URLs keep working as plain text; only identifier-shaped
+    prefixes are field syntax (tantivy errors on unknown FIELDS, but
+    '12' / 'http' are not field-shaped)."""
+    from bids_spark.plans.parser import Phrase, Term, parse_query
+
+    q = parse_query("deploy at 12:30")
+    terms = {c.term for c in q.should if isinstance(c, Term)}
+    assert {"deploy", "at"} <= terms
+    assert any(
+        isinstance(c, Phrase) and c.terms == ("12", "30") for c in q.should
+    ) or {"12", "30"} <= terms
+    # identifier-shaped unknown field still errors (reference parity)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_query("title:x")

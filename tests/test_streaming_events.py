@@ -168,3 +168,38 @@ def test_windowed_counts_partial_agg_plan(spark):
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "HashAggregate" in plan.split("Exchange")[-1]
+
+
+@pytest.mark.slow
+def test_stateful_sessionize_numbering_survives_timeout(spark, tmp_path):
+    """A session closed by TIMEOUT must not reset the user's session
+    numbering: the next session continues at session_no+1 (counter-only
+    retained state)."""
+    from bids_spark.streaming import sessions as ss
+    from bids_spark.streaming import windows as sw
+
+    land, ck, out = (str(tmp_path / d) for d in ("land", "ck", "out"))
+    base = datetime(2024, 4, 1, 10, 0, 0)
+
+    def feed(rows):
+        spark.createDataFrame(
+            [(i, t, u, "c", 0.0, "{}") for i, (t, u) in enumerate(rows)],
+            sw.EVENTS_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(land)
+        stream = sw.read_events_stream(spark, land)
+        agg = ss.sessionize_stream(
+            stream, gap_minutes=30, watermark="1 hour",
+            retention_minutes=600,
+        )
+        sw.run_to_parquet(agg, out, ck)
+
+    feed([(base, 1)])                                   # session 1 opens
+    feed([(base + timedelta(hours=3), 999)])            # wm → session 1 times out
+    feed([(base + timedelta(hours=3, minutes=30), 1)])  # user 1 returns
+    feed([(base + timedelta(hours=10), 999)])           # wm → session 2 times out
+
+    got = sorted(
+        (r["session_no"], r["n_events"])
+        for r in spark.read.parquet(out).filter("user_id = 1").collect()
+    )
+    assert got == [(1, 1), (2, 1)], got
