@@ -144,8 +144,7 @@ def cmd_index(
         kept = spark.read.parquet(_docs_path()).join(tomb, "doc_id", "left_anti")
         tmp = _docs_path() + ".tmp"
         kept.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(_docs_path())
-        os.rename(tmp, _docs_path())
+        _swap_in_store(tmp)
     shutil.rmtree(_segments_path(), ignore_errors=True)
     # build the real (blocked, compressed, positional) index at --index
     # time, like the reference's tantivy writer (index.py:121-143);
@@ -176,6 +175,21 @@ def cmd_index(
 
 def _segments_path() -> str:
     return os.path.join(dataset_dir(), "segments")
+
+
+def _swap_in_store(tmp: str) -> None:
+    """Replace the docs store with `tmp` without a window where the
+    store is absent: rename-aside, rename-in, then drop the old copy.
+    A crash leaves either the old store or the new one in place."""
+    old = _docs_path() + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(_docs_path(), old)
+    try:
+        os.rename(tmp, _docs_path())
+    except Exception:
+        os.rename(old, _docs_path())  # roll back
+        raise
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def cmd_append(
@@ -268,8 +282,7 @@ def cmd_compact(spark: SparkSession) -> int:
         kept = spark.read.parquet(_docs_path()).join(tomb, "doc_id", "left_anti")
         tmp = _docs_path() + ".tmp"
         kept.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(_docs_path())
-        os.rename(tmp, _docs_path())
+        _swap_in_store(tmp)
     si.compact(spark)
     print(f"Compacted {before} segment(s) into 1")
     return 0
