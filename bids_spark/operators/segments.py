@@ -21,12 +21,21 @@ idf column and avgdl scalar.  So the segmented engine:
   * substitutes the global idf into each segment's blocks before decode
     → decoded scores are exactly the single-index scores;
   * rescales each segment's pruning metadata by r = idf_g/idf_s (scores
-    are LINEAR in idf, so k-th-largest and block-max scale exactly);
-    upper bounds are nudged up and θ down by 4 ulps to keep the bounds
-    conservative under the two rounding steps of the rescale.
+    are LINEAR in idf, so that part scales exactly) TIMES an avgdl
+    correction: stored bounds were computed with the segment's own
+    avgdl while decode uses the global one, and the per-doc ratio of
+    the dl-normalisation lies strictly between 1 and
+    avgdl_g/avgdl_seg — so upper bounds multiply by
+    max(1, avgdl_g/avgdl_seg) and θ candidates by
+    min(1, avgdl_g/avgdl_seg).  Both factors are then nudged by the
+    one-sided ulp guards below so the bounds stay conservative under
+    the rescale's rounding steps.
 
-Deletes remain out of scope (documented, SURVEY §2 C9); the streaming
-module's landing-dir ingest can feed ``add_segment`` per micro-batch.
+Deletes (round 2): tombstone sets anti-joined at decode — docs stop
+matching immediately, survivors keep exact scores; ``compact()``
+purges tombstoned rows and recomputes stats (Lucene pre-merge
+semantics).  The streaming module's landing-dir ingest feeds
+``add_segment`` per micro-batch.
 """
 
 from __future__ import annotations
@@ -203,6 +212,12 @@ class SegmentedIndex:
 
     def engine(self, spark: SparkSession, cache: bool = False):
         segs = self.segments()
+        if not segs:
+            raise ValueError(
+                "no committed segments to serve — the index is empty "
+                "(append a segment or wait for the first micro-batch "
+                "commit before searching)"
+            )
         tomb = self.tombstones(spark)
         if len(segs) == 1 and tomb is None:
             return BlockedSearchEngine(spark, segs[0], cache=cache)
@@ -249,10 +264,24 @@ class SegmentedIndex:
         tomb = self.tombstones(spark)
 
         name = f"seg-merged-{len(seg_paths):04d}-{os.path.basename(seg_paths[-1])}"
-        # never build into an existing directory (repeated compactions
-        # can regenerate the same name once merged segments feed merges)
+        base_fp_probe = "compact:" + ",".join(
+            os.path.basename(p) for p in seg_paths
+        )
+        if pre["tombstones"]:
+            base_fp_probe += "-" + ",".join(pre["tombstones"])
+        # resume a crashed run of THIS compaction (same source set →
+        # same fingerprint on its staged manifest); never build into a
+        # directory from a different compaction (repeated cycles can
+        # regenerate the same name once merged segments feed merges)
         i = 1
         while os.path.exists(os.path.join(self.root, name)):
+            cand = BlockedIndex(os.path.join(self.root, name))
+            man_c = cand._manifest()
+            fp_c = (man_c.get("stages", {}).get("postings") or {}).get(
+                "fingerprint", ""
+            )
+            if fp_c in (base_fp_probe, base_fp_probe + "+pos"):
+                break  # same compaction, crashed mid-way: resume it
             i += 1
             name = (
                 f"seg-merged-{len(seg_paths):04d}-"
@@ -261,9 +290,7 @@ class SegmentedIndex:
         dst = BlockedIndex(os.path.join(self.root, name))
         # base_fp feeds dst.build below, which appends "+pos" itself —
         # fp here must mirror that so the staged unions are recognized
-        base_fp = "compact:" + ",".join(os.path.basename(p) for p in seg_paths)
-        if pre["tombstones"]:
-            base_fp += "-" + ",".join(pre["tombstones"])
+        base_fp = base_fp_probe
         fp = base_fp + ("+pos" if with_pos else "")
 
         def union_stage(stage: str, select_cols: list[str] | None):
@@ -312,7 +339,16 @@ class SegmentedIndex:
             # rename; a crash before this line leaves the sources
             # serving, a crash after leaves the merged one serving —
             # never both, never double-counted
-            self._write_commit([name], [])
+            # merge with the CURRENT commit, not the entry snapshot: a
+            # concurrent append (streaming micro-batch) or delete that
+            # landed while the merge ran must survive — only the merged
+            # sources disappear and only the PURGED tombstones clear
+            cur = self._read_commit() or pre
+            src = {os.path.basename(p) for p in seg_paths}
+            live = [name] + [s for s in cur["segments"] if s not in src]
+            purged = set(pre["tombstones"])
+            remaining_tombs = [t for t in cur["tombstones"] if t not in purged]
+            self._write_commit(live, remaining_tombs)
             for p in seg_paths:
                 # unique retired name: a segment number can be reused
                 # across compaction cycles, so "old-<name>" may exist
@@ -362,6 +398,10 @@ class SegmentedSearchEngine(BlockedSearchEngine):
         self.avgdl = float(
             sum(m["avgdl"] * m["n_docs"] for m in mans) / self.n_docs
         )
+        # per-segment avgdl: the stored pruning bounds were computed
+        # under these, while decode uses the global self.avgdl — the
+        # bound rescale needs the ratio (see module docstring)
+        self._seg_avgdl = [float(m["avgdl"]) for m in mans]
         self._seg_blocks = [s.blocks(spark) for s in segments]
         self._seg_tdicts = [s.terms(spark) for s in segments]
         self._stats_cache = (self.n_docs, self.avgdl)
@@ -387,14 +427,23 @@ class SegmentedSearchEngine(BlockedSearchEngine):
         key = tuple(sorted(set(terms)))
         if key in self._meta_cache:
             return self._meta_cache[key]
-        per_seg: list[dict[str, dict]] = []
-        for td in self._seg_tdicts:
-            df_rows = (
+        # ONE job for all segments' dictionary rows (a per-segment
+        # sequential collect would cost a driver round-trip per
+        # segment — linear query latency in segment count)
+        parts = []
+        for i, td in enumerate(self._seg_tdicts):
+            parts.append(
                 self._bucket_filter(td, list(key))
                 .filter(F.col("term").isin(list(key)))
-                .collect()
+                .withColumn("_seg", F.lit(i))
             )
-            per_seg.append({r["term"]: r.asDict() for r in df_rows})
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        per_seg: list[dict[str, dict]] = [{} for _ in self._seg_tdicts]
+        for r in u.collect():
+            d = r.asDict()
+            per_seg[d.pop("_seg")][d["term"]] = d
         df_g: dict[str, int] = {}
         for seg in per_seg:
             for t, m in seg.items():
@@ -420,14 +469,18 @@ class SegmentedSearchEngine(BlockedSearchEngine):
         for t in df_g:
             gmax = s10 = s100 = 0.0
             n_blocks = 0
-            for seg in per_seg:
+            for i, seg in enumerate(per_seg):
                 m = seg.get(t)
                 if not m:
                     continue
                 r = idf_g[t] / float(m["idf"]) if m["idf"] else 0.0
-                gmax = max(gmax, float(m["gmax"]) * r * _UP)
-                s10 = max(s10, float(m["s10"] or 0.0) * r * _DOWN)
-                s100 = max(s100, float(m["s100"] or 0.0) * r * _DOWN)
+                # avgdl correction: per-doc global/segment score ratio
+                # lies strictly in (min(1,a), max(1,a)), a = avgdl_g/avgdl_s
+                a = self.avgdl / self._seg_avgdl[i]
+                up, down = max(1.0, a), min(1.0, a)
+                gmax = max(gmax, float(m["gmax"]) * r * up * _UP)
+                s10 = max(s10, float(m["s10"] or 0.0) * r * down * _DOWN)
+                s100 = max(s100, float(m["s100"] or 0.0) * r * down * _DOWN)
                 n_blocks += int(m.get("n_blocks") or 0)
             out[t] = {
                 "term": t, "df": df_g[t], "idf": idf_g[t],
@@ -451,20 +504,22 @@ class SegmentedSearchEngine(BlockedSearchEngine):
             )
         )
         parts = []
-        for blocks in self._seg_blocks:
+        for i, blocks in enumerate(self._seg_blocks):
             tb = self._bucket_filter(blocks, terms).filter(
                 F.col("term").isin(terms)
             )
             # substitute global idf; rescale the pruning bound by the
-            # linear idf ratio (+ulp guard).  Decode then recomputes
-            # scores with idf_g → exactly the single-index scores.
+            # linear idf ratio TIMES the avgdl upper correction
+            # (+ulp guard).  Decode then recomputes scores with idf_g
+            # and the global avgdl → exactly the single-index scores.
+            a_up = max(1.0, self.avgdl / self._seg_avgdl[i])
             tb = (
                 tb.join(idf_map, "term")
                 .withColumn(
                     "block_max_score",
                     F.col("block_max_score")
                     * (F.col("idf_g") / F.col("idf"))
-                    * F.lit(_UP),
+                    * F.lit(a_up * _UP),
                 )
                 .drop("idf")
                 .withColumnRenamed("idf_g", "idf")

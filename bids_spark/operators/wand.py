@@ -420,11 +420,13 @@ class BlockedSearchEngine(BooleanEvaluator):
         ):
             if isinstance(node, Term):
                 bucket.append(node.term)
-            elif isinstance(node, Bool) and not node.should and not node.must_not \
-                    and all(isinstance(m, Term) for m in node.must) and bucket is should:
-                # "a AND b" at top level parses as Bool(must=[a,b]) in should
-                must.extend(m.term for m in node.must)
             else:
+                # Any nested node (Bool, Phrase) → generic evaluator.
+                # NOTE a top-level "a AND b" parses to Bool(must=[a,b])
+                # DIRECTLY (never wrapped in should), so there is no
+                # flat case lost here; lifting a nested must-Bool out
+                # of should would turn "(a AND b) OR c" into a
+                # conjunction — wrong results, silently.
                 flat = False
         # Lucene/tantivy score PER CLAUSE: "data data" sums the term's
         # score twice.  The flat fast paths dedup terms (isin), so a
