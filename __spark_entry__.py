@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_boilerplate": C.q_remove_boilerplate,
         "source_stats": C.q_source_stats,
         "snippet": C.q_snippet,
+        "filter_decision": C.q_filter_decision,
         # event-stream operators (batch twins of streaming/windows.py)
         "windowed_counts": C.q_windowed_counts,
         "sessionize": C.q_sessionize,
@@ -102,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "remove_boilerplate": C.SQL_REMOVE_BOILERPLATE,
         "source_stats": C.SQL_SOURCE_STATS,
         "snippet": C.snippet_sql(C._SNIPPET_TERMS, width=80, context=20),
+        "filter_decision": C.SQL_FILTER_DECISION,
         "windowed_counts": C.SQL_WINDOWED_COUNTS,
         "sessionize": C.SQL_SESSIONIZE,
         "ngram_jaccard": C.SQL_NGRAM_JACCARD,

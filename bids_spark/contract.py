@@ -789,6 +789,52 @@ FROM documents d JOIN base b USING (doc_id)
 GROUP BY d.source
 """
 
+def q_filter_decision(spark, sf_dir):
+    return wt.filter_decision(load_documents(spark, sf_dir))
+
+
+SQL_FILTER_DECISION = f"""
+WITH {_LST_CTE},
+lines AS (
+  SELECT doc_id,
+         CASE WHEN len(lst) > 0 THEN
+           list_transform(
+             generate_series(1, CAST(ceil(len(lst)/3.0) AS BIGINT)),
+             p -> array_to_string(lst[(p-1)*3+1 : p*3], ' '))
+         ELSE [] END AS ls
+  FROM base
+),
+dup AS (
+  SELECT doc_id,
+         round(CASE WHEN len(ls) > 0
+              THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
+              ELSE 0.0 END, 6) AS dlf
+  FROM lines
+),
+{_gram_cte(2, '2').strip().rstrip(',')},
+sig AS (
+  SELECT d.doc_id,
+    len(b.lst) AS n_tokens,
+    round((length(d.text) - length(regexp_replace(d.text, '[^\\p{{L}}\\p{{N}}]', '', 'g')))
+        / greatest(length(d.text), 1), 6) AS punct_ratio,
+    round(coalesce(t2.frac, 0.0), 6) AS bigram_frac,
+    dup.dlf
+  FROM documents d
+  JOIN base b USING (doc_id)
+  LEFT JOIN t2 USING (doc_id)
+  JOIN dup USING (doc_id)
+)
+SELECT doc_id,
+  (NOT (n_tokens < 10) AND NOT (dlf > 0.3)
+   AND NOT (bigram_frac > 0.5) AND NOT (punct_ratio > 0.5)) AS keep,
+  concat_ws(',',
+    CASE WHEN n_tokens < 10 THEN 'too_short' END,
+    CASE WHEN dlf > 0.3 THEN 'dup_lines' END,
+    CASE WHEN bigram_frac > 0.5 THEN 'repetitive' END,
+    CASE WHEN punct_ratio > 0.5 THEN 'punct_soup' END) AS reasons
+FROM sig
+"""
+
 _SNIPPET_TERMS = ["merge", "join"]
 
 

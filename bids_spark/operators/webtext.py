@@ -13,6 +13,8 @@ before indexing, following the published Gopher/C4 recipes):
 - remove_boilerplate:  per-doc cleaned text after dropping boilerplate
                        lines, order-preserving
 - source_stats:        per-source (domain analogue) corpus profile
+- filter_decision:     the composite keep/drop gate over the signals
+                       above (auditable reason list)
 
 The synthetic corpus has no newlines, so a "line" is derived
 deterministically: the token stream reflowed into fixed LINE_TOKENS-
@@ -265,3 +267,49 @@ def snippets(
         matched.alias("matched_term"),
         snippet.alias("snippet"),
     ).where(F.col("pos") < ABSENT)
+
+
+def filter_decision(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.5,
+    max_punct_ratio: float = 0.5,
+) -> DataFrame:
+    """The pipeline's gating step: one keep/drop decision per document
+    from the hygiene signals (Gopher-style composite).  Reasons are a
+    deterministic comma-joined list in fixed check order, so the
+    decision is auditable and the whole op stays oracle-checkable.
+
+    Composition note: reuses repetition_stats (2 shuffles) + the
+    row-local token/punct exprs; the join is on doc_id.  At crawl
+    scale this is the same cost profile as repetition_stats itself.
+    """
+    from bids_spark.operators.textstats import quality_score, token_count
+
+    rep = repetition_stats(docs, id_col, text_col)
+    tok = token_count(docs, id_col, text_col).select("doc_id", "n_tokens")
+    qua = quality_score(docs, id_col, text_col).select("doc_id", "punct_ratio")
+    j = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(tok, "doc_id")
+        .join(qua, "doc_id")
+        .join(rep, "doc_id")
+    )
+    checks = [
+        ("too_short", F.col("n_tokens") < min_tokens),
+        ("dup_lines", F.col("dup_line_frac") > max_dup_line_frac),
+        ("repetitive", F.col("top_bigram_frac") > max_top_bigram_frac),
+        ("punct_soup", F.col("punct_ratio") > max_punct_ratio),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(tag)) for tag, cond in checks]
+    )
+    keep = ~checks[0][1]
+    for _tag, cond in checks[1:]:
+        keep = keep & ~cond
+    return j.select(
+        "doc_id", keep.alias("keep"), reasons.alias("reasons")
+    )

@@ -126,3 +126,21 @@ def test_boilerplate_conservation_on_corpus(spark, docs):
     )
     assert total_lines - total_kept == boiler_occ
     assert all(0 <= r["n_kept"] <= r["n_lines"] for r in out)
+
+
+def test_filter_decision_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a clean document with plenty of distinct words in it ok"),
+            (1, "tiny doc"),                              # too_short
+            (2, "spam spam spam spam spam spam spam spam spam spam spam"),
+            (3, "!!! ??? ... ;;; ::: --- +++ === ~~~ @@@ ### one two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in wt.filter_decision(docs).collect()}
+    assert out[0]["keep"] and out[0]["reasons"] == ""
+    assert not out[1]["keep"] and "too_short" in out[1]["reasons"]
+    assert not out[2]["keep"] and "repetitive" in out[2]["reasons"]
+    assert "dup_lines" in out[2]["reasons"]  # identical 3-token lines
+    assert not out[3]["keep"] and "punct_soup" in out[3]["reasons"]
