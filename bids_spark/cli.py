@@ -131,20 +131,23 @@ def cmd_index(
         if docs is None:
             print(f"No indexable files under {directory}", file=sys.stderr)
             return 1
-    mode = "append" if os.path.exists(_docs_path()) else "overwrite"
-    docs.write.mode(mode).parquet(_docs_path())
-    # --index is a full (re)build.  Honour pending tombstones FIRST:
-    # the docs store still holds deleted rows, and rebuilding from it
-    # would silently resurrect them — rewrite the store without them,
-    # then clear segmented state so the fresh blocked index serves.
+    # --index is a full (re)build.  Honour pending tombstones FIRST and
+    # against the PRE-EXISTING store only: it still holds deleted rows,
+    # and rebuilding from it would silently resurrect them — but the
+    # incoming batch must be appended AFTER the purge, so a re-scan
+    # that re-adds a previously deleted document (same path ⇒ same
+    # xxhash64 doc_id) keeps its fresh copy instead of having it
+    # swept up by the old tombstone.
     from bids_spark.operators.segments import SegmentedIndex
 
     tomb = SegmentedIndex(_segments_path()).tombstones(spark)
-    if tomb is not None:
+    if tomb is not None and os.path.exists(_docs_path()):
         kept = spark.read.parquet(_docs_path()).join(tomb, "doc_id", "left_anti")
         tmp = _docs_path() + ".tmp"
         kept.write.mode("overwrite").parquet(tmp)
         _swap_in_store(tmp)
+    mode = "append" if os.path.exists(_docs_path()) else "overwrite"
+    docs.write.mode(mode).parquet(_docs_path())
     shutil.rmtree(_segments_path(), ignore_errors=True)
     # build the real (blocked, compressed, positional) index at --index
     # time, like the reference's tantivy writer (index.py:121-143);

@@ -69,7 +69,19 @@ class SegmentedIndex:
     compaction, and a crash mid-compaction can never double-count
     (sources stay committed until the merged segment commits).
     Roots written before the commit file existed fall back to listing
-    servable seg-* directories."""
+    servable seg-* directories.
+
+    Concurrency contract: any number of READERS may serve concurrently
+    with one MUTATOR (each mutation is a single atomic rename, so a
+    reader sees the old or the new commit, never a torn one), but
+    mutations themselves (add_segment / delete_docs / compact) assume a
+    SINGLE writer — they read-modify-write segments.json without a
+    lock, so two concurrent mutators can drop each other's committed
+    entries.  This mirrors tantivy's single-IndexWriter rule
+    (reference: one writer process owns the index,
+    bids/index.py:121-143).  On an object store, io.ConditionalPutLog
+    upgrades the commit to a compare-and-swap that DETECTS lost races
+    instead of silently losing them (see bids_spark/io.py)."""
 
     def __init__(self, root: str):
         self.root = root
@@ -187,8 +199,22 @@ class SegmentedIndex:
         if not doc_ids:
             return
         c = self._committed()
-        name = f"del-{len(c['tombstones']):04d}"
-        path = os.path.join(self.root, "tombstones", name)
+        # collision-free name: max(existing committed OR on-disk number)+1
+        # (mirrors add_segment's scan).  Deriving it from the committed
+        # COUNT would reuse e.g. del-0001 after a compact() purged
+        # del-0000 while a concurrent delete landed as del-0001 — the
+        # overwrite would silently resurrect those concurrently-deleted
+        # docs.
+        tomb_root = os.path.join(self.root, "tombstones")
+        existing = set(c["tombstones"])
+        if os.path.isdir(tomb_root):
+            existing.update(os.listdir(tomb_root))
+        nums = [
+            int(n[4:]) for n in existing
+            if n.startswith("del-") and n[4:].isdigit()
+        ]
+        name = f"del-{(max(nums) + 1 if nums else 0):04d}"
+        path = os.path.join(tomb_root, name)
         (
             spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id bigint")
             .coalesce(1)

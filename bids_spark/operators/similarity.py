@@ -56,8 +56,9 @@ def cosine_topk(
     top = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
     from pyspark.sql import Window
 
-    # constant partition key: ≤k rows (see planner.py rank note)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cos"), F.asc("vec_id"))
+    # single-partition window over ≤k rows — intended (see planner.py
+    # rank note; WindowExec advisory silenced in session.get_spark)
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
     return top.select(
         F.row_number().over(w).cast("long").alias("rank"),
         "vec_id",

@@ -446,9 +446,10 @@ class BlockedSearchEngine(BooleanEvaluator):
             matches = self._eval_bool(ast).orderBy(
                 F.desc("score"), F.asc("doc_id")
             ).limit(limit)
-        # constant partition key: ≤k rows, avoids the WindowExec
-        # no-partition warning (see planner.py rank note)
-        w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+        # single-partition window over the already-limited ≤k rows —
+        # intended (see planner.py rank note; advisory silenced in
+        # session.get_spark)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return matches.select(
             F.row_number().over(w).alias("rank"), "doc_id", "score"
         )

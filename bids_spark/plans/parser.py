@@ -176,9 +176,12 @@ class _Parser:
             if ":" in val:
                 fld, _, rest = val.partition(":")
                 if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", fld):
-                    # colon-bearing text that is NOT field syntax
-                    # ("12:30", "http://…") tokenizes as plain terms —
-                    # only identifier-shaped prefixes are field scopes
+                    # NON-identifier prefixes ("12:30") tokenize as
+                    # plain terms.  An identifier-shaped prefix is
+                    # ALWAYS field syntax — so "http://example.com"
+                    # raises ValueError('unknown field http'), exactly
+                    # like tantivy's QueryParser on an undeclared field
+                    # (users must quote URLs: "\"http://example.com\"")
                     return self._tokens_atom(val)
                 if fld.lower() not in FIELDS:
                     raise ValueError(

@@ -244,10 +244,11 @@ class SearchEngine(BooleanEvaluator):
         # rank assignment happens on ≤k rows — cheap single partition
         from pyspark.sql import Window
 
-        # partitionBy(lit(0)): the input is the already-limited ≤k rows;
-        # a constant partition key keeps the same single-partition rank
-        # without WindowExec's no-partition warning on every query
-        w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+        # single-partition window by design: the input is the already-
+        # limited ≤k rows (a constant partition key would be folded
+        # away anyway; WindowExec's advisory about it is silenced in
+        # session.get_spark)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return matches.select(
             F.row_number().over(w).alias("rank"), "doc_id", "score"
         )

@@ -41,4 +41,22 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_window_advisory(spark)
     return spark
+
+
+def _silence_window_advisory(spark: SparkSession) -> None:
+    """Raise WindowExec's log level to ERROR: every rank assignment in
+    this engine runs a single-partition window over ALREADY-LIMITED ≤k
+    rows (planner/wand/similarity), so its "No Partition Defined"
+    advisory is noise that would otherwise fire on every query.  A
+    constant partition key does not help — Catalyst folds it away
+    before WindowExec checks the spec."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments just keep the advisory

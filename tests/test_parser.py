@@ -103,3 +103,15 @@ def test_colon_words_that_are_not_fields_stay_terms():
 
     with _pytest.raises(ValueError):
         parse_query("title:x")
+
+
+def test_identifier_colon_is_always_field_syntax():
+    """An identifier-shaped prefix before ':' ALWAYS means field
+    scoping — so bare URLs raise like any undeclared field (tantivy's
+    QueryParser parity); quoting them searches the tokens instead."""
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown field 'http'"):
+        parse_query("http://example.com")
+    q = parse_query('"http://example.com"')
+    assert q.should == [Phrase(("http", "example", "com"))]
