@@ -46,6 +46,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_blocked": C.q_bm25_and_blocked,
         "bm25_phrase_blocked": C.q_bm25_phrase_blocked,
         "bm25_or_segmented": C.q_bm25_or_segmented,
+        "bm25_and_segmented": C.q_bm25_and_segmented,
+        "bm25_not_segmented": C.q_bm25_not_segmented,
+        "bm25_phrase_segmented": C.q_bm25_phrase_segmented,
+        "bm25_or_segmented_deleted": C.q_bm25_or_segmented_deleted,
         # training-pipeline operators
         "token_count": C.q_token_count,
         "quality_score": C.q_quality_score,
@@ -93,6 +97,16 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_blocked": C.bm25_topk_sql(must=["merge", "join"]),
         "bm25_phrase_blocked": C.bm25_phrase_sql(["merge", "join"]),
         "bm25_or_segmented": C.bm25_topk_sql(should=["merge", "join"]),
+        "bm25_and_segmented": C.bm25_topk_sql(must=["merge", "join"]),
+        "bm25_not_segmented": C.bm25_topk_sql(
+            should=["merge"], must_not=["join"]
+        ),
+        "bm25_phrase_segmented": C.bm25_phrase_sql(["merge", "join"]),
+        # deleted docs drop out of the candidates; df/N/avgdl still
+        # count them (pre-merge Lucene semantics)
+        "bm25_or_segmented_deleted": C.bm25_topk_sql(
+            should=["merge", "join"], exclude_pred=C._SEG_DELETE_PRED
+        ),
         "token_count": C.SQL_TOKEN_COUNT,
         "quality_score": C.SQL_QUALITY,
         "lang_id": C.SQL_LANG_ID,

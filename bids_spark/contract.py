@@ -64,9 +64,15 @@ def bm25_topk_sql(
     must: list[str] | None = None,
     must_not: list[str] | None = None,
     k: int = 10,
+    exclude_pred: str | None = None,
 ) -> str:
     """DuckDB SQL mirroring SearchEngine's Bool evaluation for flat
-    term queries (no nesting — enough for the committed query set)."""
+    term queries (no nesting — enough for the committed query set).
+
+    exclude_pred: optional SQL predicate over p.doc_id marking DELETED
+    docs — they are dropped from the candidate set only, while df /
+    n_docs / avgdl still count them (Lucene tombstone semantics before
+    a merge; segments.SegmentedIndex.delete_docs)."""
     should, must, must_not = should or [], must or [], must_not or []
     pos_terms = must + should
     assert pos_terms, "pure-negative query has no SQL oracle (matches nothing)"
@@ -88,6 +94,8 @@ def bm25_topk_sql(
             f"(SELECT doc_id FROM post WHERE term IN "
             f"({', '.join(chr(39) + t.replace(chr(39), chr(39) * 2) + chr(39) for t in must_not)}))"
         )
+    if exclude_pred:
+        not_clause += f" AND NOT ({exclude_pred})"
     return f"""
 WITH {_TOK_CTES},
 qterms(term, is_must) AS (VALUES {qvals}),
@@ -242,32 +250,79 @@ def q_bm25_or_blocked(spark, sf_dir):
     return _search_blocked(spark, sf_dir, "merge join")
 
 
-def q_bm25_or_segmented(spark, sf_dir):
-    """Same oracle as bm25_or, served from a 2-segment append-only
-    index (operators/segments.py) — certifies exact global BM25 over
-    independently built segments."""
+# every doc with doc_id % 7 == 0 is tombstoned in the "deleted"
+# segmented variant — a deterministic rule both sides can name (the
+# oracle filters candidates with the same predicate while its df/stats
+# still count the deleted docs, mirroring pre-merge Lucene semantics)
+_SEG_DELETE_PRED = "p.doc_id % 7 = 0"
+
+
+def _segmented_engine(spark, sf_dir: str, deleted: bool = False):
+    """2-segment append-only index over sf_dir (cached per content
+    fingerprint).  deleted=True uses a SEPARATE root with every
+    doc_id % 7 == 0 tombstoned — certifying the tombstone-filtered
+    decode + probe-θ pruning path (wand._has_deletes) under the
+    driver's independent oracle, not just pytest."""
     import hashlib
     import os
     import tempfile
 
     from bids_spark.operators.segments import SegmentedIndex
 
-    key = sf_dir.rstrip("/") + "#seg@" + _content_fp(sf_dir)
+    tag = "#segdel@" if deleted else "#seg@"
+    key = sf_dir.rstrip("/") + tag + _content_fp(sf_dir)
     root = os.path.join(
         tempfile.gettempdir(),
         "bids_contract_seg_" + hashlib.md5(key.encode()).hexdigest()[:10],
     )
     si = SegmentedIndex(root)
+    docs = load_documents(spark, sf_dir)
     if len(si.segment_paths()) < 2:
-        docs = load_documents(spark, sf_dir)
         si.add_segment(docs.filter(F.col("doc_id") % 2 == 0), fingerprint="even")
         si.add_segment(docs.filter(F.col("doc_id") % 2 == 1), fingerprint="odd")
-    eng = si.engine(spark)
-    return eng.search("merge join", 10).select(
+    if deleted and not si._committed()["tombstones"]:
+        ids = [
+            r["doc_id"]
+            for r in docs.filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id").collect()
+        ]
+        si.delete_docs(spark, ids)
+    return si.engine(spark)
+
+
+def _search_segmented(spark, sf_dir, query, deleted: bool = False):
+    eng = _segmented_engine(spark, sf_dir, deleted=deleted)
+    return eng.search(query, 10).select(
         F.col("rank").cast("long").alias("rank"),
         "doc_id",
         F.round("score", 6).alias("score"),
     )
+
+
+def q_bm25_or_segmented(spark, sf_dir):
+    """Same oracle as bm25_or, served from a 2-segment append-only
+    index (operators/segments.py) — certifies exact global BM25 over
+    independently built segments."""
+    return _search_segmented(spark, sf_dir, "merge join")
+
+
+def q_bm25_and_segmented(spark, sf_dir):
+    return _search_segmented(spark, sf_dir, "merge AND join")
+
+
+def q_bm25_not_segmented(spark, sf_dir):
+    return _search_segmented(spark, sf_dir, "merge -join")
+
+
+def q_bm25_phrase_segmented(spark, sf_dir):
+    return _search_segmented(spark, sf_dir, '"merge join"')
+
+
+def q_bm25_or_segmented_deleted(spark, sf_dir):
+    """OR query over the tombstoned segmented index: deleted docs must
+    vanish from results while survivors keep their exact pre-delete
+    scores (idf/avgdl still count tombstones until compact)."""
+    return _search_segmented(spark, sf_dir, "merge join", deleted=True)
 
 
 def q_bm25_and_blocked(spark, sf_dir):
