@@ -46,8 +46,6 @@ compressed bytes) land in the manifest — the BENCH harness reads them.
 
 from __future__ import annotations
 
-import json
-import math
 import os
 import re
 import time
@@ -60,6 +58,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bids_spark import B, K1, MAX_TOKEN_LEN
+from bids_spark.io import CommitLog, ParquetTableIO, PosixRenameLog, TableIO
 from bids_spark.operators.codec import BLOCK_SIZE, encode_block
 
 _SPLIT = re.compile(r"[\W_]+", flags=re.UNICODE)
@@ -219,11 +218,25 @@ FMT_TAG = "#fmt4"
 
 class BlockedIndex:
     """On-disk layout: {path}/postings, doclens, stats, blocks,
-    manifest.json."""
+    manifest.json.
 
-    def __init__(self, path: str):
+    Storage seam (bids_spark/io.py): every table write/read goes
+    through ``io`` (ParquetTableIO by default — byte-identical to the
+    historical layout — or IcebergTableIO when the session has an
+    Iceberg catalog: ``BlockedIndex(p, io=table_io_for(spark, p))``),
+    and the manifest goes through ``commit_log`` (PosixRenameLog by
+    default, ConditionalPutLog on rename-free object stores)."""
+
+    def __init__(
+        self,
+        path: str,
+        io: TableIO | None = None,
+        commit_log: CommitLog | None = None,
+    ):
         self.path = path
         self.manifest_path = os.path.join(path, "manifest.json")
+        self.io = io or ParquetTableIO(path)
+        self.log = commit_log or PosixRenameLog(self.manifest_path)
 
     def is_servable(self) -> bool:
         """True iff a reader can serve queries from this directory:
@@ -240,35 +253,20 @@ class BlockedIndex:
             and FMT_TAG in str(blk.get("fingerprint", ""))
             and trm and trm.get("status") == "done"
             and trm.get("fingerprint") == blk.get("fingerprint")
-            and os.path.isdir(self._dir("blocks"))
-            and os.path.isdir(self._dir("terms"))
+            and self.io.exists("blocks")
+            and self.io.exists("terms")
         )
 
     # ---- manifest / resumability ---------------------------------------
 
     def _manifest(self) -> dict:
-        if os.path.exists(self.manifest_path):
-            with open(self.manifest_path) as f:
-                return json.load(f)
-        return {"stages": {}}
+        return self.log.read() or {"stages": {}}
 
     def _lineage(self, stage: str) -> list[dict]:
         """Per-partition lineage: one entry per output part-file (a
-        part-file is exactly one task/partition's output)."""
-        d = self._dir(stage)
-        out = []
-        if os.path.isdir(d):
-            for root, _dirs, files in os.walk(d):
-                for f in sorted(files):
-                    if f.startswith("part-"):
-                        p = os.path.join(root, f)
-                        out.append(
-                            {
-                                "file": os.path.relpath(p, d),
-                                "bytes": os.path.getsize(p),
-                            }
-                        )
-        return out
+        part-file is exactly one task/partition's output; Iceberg
+        backends report lineage from snapshot metadata instead)."""
+        return self.io.lineage(stage)
 
     def _mark(self, manifest: dict, stage: str, fingerprint: str, **metrics):
         manifest["stages"][stage] = {
@@ -277,11 +275,7 @@ class BlockedIndex:
             "partitions": self._lineage(stage),
             **metrics,
         }
-        os.makedirs(self.path, exist_ok=True)
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=2)
-        os.replace(tmp, self.manifest_path)
+        self.log.commit(manifest)
 
     def _stage_done(self, manifest: dict, stage: str, fingerprint: str) -> bool:
         st = manifest["stages"].get(stage)
@@ -349,9 +343,9 @@ class BlockedIndex:
             else:
                 from bids_spark.operators.index_build import postings as _builtin
                 part = _builtin(docs, id_col, text_col)
-            part.write.mode("overwrite").parquet(self._dir("postings"))
+            self.io.write(part, "postings")
             self._mark(man, "postings", fingerprint, seconds=time.time() - t0)
-        postings = spark.read.parquet(self._dir("postings"))
+        postings = self.io.read(spark, "postings")
 
         if not self._stage_done(man, "doclens", fingerprint):
             t0 = time.time()
@@ -362,18 +356,18 @@ class BlockedIndex:
                 all_ids.join(doclens, "doc_id", "left")
                 .select("doc_id", F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
             )
-            doclens.write.mode("overwrite").parquet(self._dir("doclens"))
+            self.io.write(doclens, "doclens")
             self._mark(man, "doclens", fingerprint, seconds=time.time() - t0)
-        doclens = spark.read.parquet(self._dir("doclens"))
+        doclens = self.io.read(spark, "doclens")
 
         if not self._stage_done(man, "stats", fingerprint):
             t0 = time.time()
             stats = doclens.agg(
                 F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
             )
-            stats.write.mode("overwrite").parquet(self._dir("stats"))
+            self.io.write(stats, "stats")
             self._mark(man, "stats", fingerprint, rows=1, seconds=time.time() - t0)
-        stats = spark.read.parquet(self._dir("stats"))
+        stats = self.io.read(spark, "stats")
 
         # blocks/terms carry a format tag so indexes written before a
         # codec/schema change rebuild those stages (postings/doclens/
@@ -434,17 +428,15 @@ class BlockedIndex:
                     "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
                 )
             )
-            (
-                blocks.write.mode("overwrite")
-                .option("parquet.block.size", 8 * 1024 * 1024)
-                .partitionBy("bucket")
-                .parquet(self._dir("blocks"))
+            self.io.write(
+                blocks, "blocks", partition_by=["bucket"],
+                options={"parquet.block.size": 8 * 1024 * 1024},
             )
             enriched.unpersist()
             dt = time.time() - t0
             # ONE metrics job over the written blocks (not count+2 aggs)
             m = (
-                spark.read.parquet(self._dir("blocks"))
+                self.io.read(spark, "blocks")
                 .agg(
                     F.count("*").alias("n_blocks"),
                     F.sum("n").alias("postings"),
@@ -479,7 +471,7 @@ class BlockedIndex:
             # of a tiny table instead of aggregating over the blocks
             t0 = time.time()
             tdict = (
-                spark.read.parquet(self._dir("blocks"))
+                self.io.read(spark, "blocks")
                 .groupBy("bucket", "term")
                 .agg(
                     F.sum("n").cast("long").alias("df"),
@@ -494,12 +486,9 @@ class BlockedIndex:
                     F.max("top100_score").alias("s100"),
                 )
             )
-            (
-                tdict.repartition("bucket")
-                .sortWithinPartitions("term")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(self._dir("terms"))
+            self.io.write(
+                tdict.repartition("bucket").sortWithinPartitions("term"),
+                "terms", partition_by=["bucket"],
             )
             self._mark(man, "terms", blk_fp, seconds=time.time() - t0)
         return self._manifest()
@@ -507,14 +496,14 @@ class BlockedIndex:
     # ---- read side --------------------------------------------------------
 
     def blocks(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self._dir("blocks"))
+        return self.io.read(spark, "blocks")
 
     def terms(self, spark: SparkSession) -> DataFrame:
         """Term dictionary: (term, df, gmax, idf, n_blocks, bucket)."""
-        return spark.read.parquet(self._dir("terms"))
+        return self.io.read(spark, "terms")
 
     def doclens(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self._dir("doclens"))
+        return self.io.read(spark, "doclens")
 
     @property
     def has_positions(self) -> bool:
@@ -535,5 +524,5 @@ class BlockedIndex:
         raise KeyError("manifest has no avgdl (pre-fmt3 index)")
 
     def stats(self, spark: SparkSession) -> tuple[int, float]:
-        r = spark.read.parquet(self._dir("stats")).first()
+        r = self.io.read(spark, "stats").first()
         return int(r["n_docs"]), float(r["avgdl"])

@@ -40,12 +40,12 @@ semantics).  The streaming module's landing-dir ingest feeds
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bids_spark.io import CommitLog, ParquetTableIO, PosixRenameLog, TableIO
 from bids_spark.operators.blocked_index import BlockedIndex
 from bids_spark.operators.wand import BlockedSearchEngine
 
@@ -83,8 +83,21 @@ class SegmentedIndex:
     upgrades the commit to a compare-and-swap that DETECTS lost races
     instead of silently losing them (see bids_spark/io.py)."""
 
-    def __init__(self, root: str):
+    def __init__(
+        self,
+        root: str,
+        commit_log: CommitLog | None = None,
+        io: TableIO | None = None,
+    ):
         self.root = root
+        # storage seam (bids_spark/io.py): segments.json goes through
+        # the commit log (PosixRenameLog keeps today's file format;
+        # ConditionalPutLog gives CAS commits on rename-free object
+        # stores), tombstone sets through the table seam
+        self.log = commit_log or PosixRenameLog(
+            os.path.join(root, "segments.json")
+        )
+        self.io = io or ParquetTableIO(root)
 
     # -- atomic segment-set commit -----------------------------------------
 
@@ -93,24 +106,19 @@ class SegmentedIndex:
         return os.path.join(self.root, "segments.json")
 
     def _read_commit(self) -> dict | None:
-        if not os.path.exists(self._commit_path):
+        c = self.log.read()
+        if c is None:
             return None
-        with open(self._commit_path) as f:
-            c = json.load(f)
         c.setdefault("segments", [])
         c.setdefault("tombstones", [])
         return c
 
     def _write_commit(self, segments: list[str], tombstones: list[str]) -> None:
-        """Atomic write-temp-then-rename — the single commit point."""
-        os.makedirs(self.root, exist_ok=True)
-        tmp = self._commit_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"segments": sorted(segments), "tombstones": sorted(tombstones)},
-                f, indent=2,
-            )
-        os.replace(tmp, self._commit_path)
+        """Atomic single commit point (rename or conditional put,
+        backend-dependent)."""
+        self.log.commit(
+            {"segments": sorted(segments), "tombstones": sorted(tombstones)}
+        )
 
     def _committed(self) -> dict:
         """Current commit, synthesized from servable dirs for legacy
@@ -173,17 +181,24 @@ class SegmentedIndex:
         # commit AFTER the build completes — readers never list the
         # in-flight directory (idempotent for streaming retries: a
         # name already committed is not re-appended).  The read must
-        # come from the commit FILE: the legacy-fallback synthesis
+        # come from the commit LOG: the legacy-fallback synthesis
         # would already list the just-built directory and skip the
-        # write, leaving the root uncommitted.
-        c = self._read_commit()
-        if c is None:
-            # first commit of a legacy root: adopt its servable
-            # segments, then add the new one
-            c = self._committed()
-            c["segments"] = [n for n in c["segments"] if n != name]
-        if name not in c["segments"]:
-            self._write_commit(c["segments"] + [name], c["tombstones"])
+        # write, leaving the root uncommitted.  Routed through
+        # log.update so a CAS-capable backend retries on a concurrent
+        # mutator instead of dropping its entries.
+        def _append(cur: dict | None) -> dict:
+            if cur is None:
+                # first commit of a legacy root: adopt its servable
+                # segments, then add the new one
+                cur = self._committed()
+                cur["segments"] = [n for n in cur["segments"] if n != name]
+            segs = set(cur.get("segments", [])) | {name}
+            return {
+                "segments": sorted(segs),
+                "tombstones": sorted(cur.get("tombstones", [])),
+            }
+
+        self.log.update(_append)
         return bi
 
     # -- deletes (segment tombstones) ---------------------------------------
@@ -214,23 +229,27 @@ class SegmentedIndex:
             if n.startswith("del-") and n[4:].isdigit()
         ]
         name = f"del-{(max(nums) + 1 if nums else 0):04d}"
-        path = os.path.join(tomb_root, name)
-        (
-            spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id bigint")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(path)
+        self.io.write(
+            spark.createDataFrame(
+                [(int(d),) for d in doc_ids], "doc_id bigint"
+            ).coalesce(1),
+            f"tombstones/{name}",
         )
-        self._write_commit(c["segments"], c["tombstones"] + [name])
+
+        def _add_tomb(cur: dict | None) -> dict:
+            cur = cur if cur is not None else self._committed()
+            return {
+                "segments": sorted(cur.get("segments", [])),
+                "tombstones": sorted(set(cur.get("tombstones", [])) | {name}),
+            }
+
+        self.log.update(_add_tomb)
 
     def tombstones(self, spark: SparkSession) -> DataFrame | None:
         names = self._committed()["tombstones"]
         if not names:
             return None
-        dfs = [
-            spark.read.parquet(os.path.join(self.root, "tombstones", n))
-            for n in names
-        ]
+        dfs = [self.io.read(spark, f"tombstones/{n}") for n in names]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
@@ -320,7 +339,7 @@ class SegmentedIndex:
         fp = base_fp + ("+pos" if with_pos else "")
 
         def union_stage(stage: str, select_cols: list[str] | None):
-            dfs = [spark.read.parquet(s._dir(stage)) for s in segs]
+            dfs = [s.io.read(spark, stage) for s in segs]
             if select_cols:
                 dfs = [d.select(*select_cols) for d in dfs]
             out = dfs[0]
@@ -332,21 +351,17 @@ class SegmentedIndex:
 
         man = dst._manifest()
         if not dst._stage_done(man, "postings", fp):
-            union_stage("postings", cols).write.mode("overwrite").parquet(
-                dst._dir("postings")
-            )
+            dst.io.write(union_stage("postings", cols), "postings")
             dst._mark(man, "postings", fp, merged_from=len(segs), seconds=0.0)
         if not dst._stage_done(man, "doclens", fp):
-            union_stage("doclens", ["doc_id", "dl"]).write.mode(
-                "overwrite"
-            ).parquet(dst._dir("doclens"))
+            dst.io.write(union_stage("doclens", ["doc_id", "dl"]), "doclens")
             dst._mark(man, "doclens", fp, seconds=0.0)
         if not dst._stage_done(man, "stats", fp):
-            (
-                spark.read.parquet(dst._dir("doclens"))
-                .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-                .write.mode("overwrite")
-                .parquet(dst._dir("stats"))
+            dst.io.write(
+                dst.io.read(spark, "doclens").agg(
+                    F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+                ),
+                "stats",
             )
             dst._mark(man, "stats", fp, seconds=0.0)
         # blocks + terms run through the normal build (stages above are
@@ -369,12 +384,22 @@ class SegmentedIndex:
             # concurrent append (streaming micro-batch) or delete that
             # landed while the merge ran must survive — only the merged
             # sources disappear and only the PURGED tombstones clear
-            cur = self._read_commit() or pre
             src = {os.path.basename(p) for p in seg_paths}
-            live = [name] + [s for s in cur["segments"] if s not in src]
             purged = set(pre["tombstones"])
-            remaining_tombs = [t for t in cur["tombstones"] if t not in purged]
-            self._write_commit(live, remaining_tombs)
+
+            def _swap(cur: dict | None) -> dict:
+                cur = cur or pre
+                live = [name] + [
+                    s for s in cur.get("segments", []) if s not in src
+                ]
+                remaining = [
+                    t for t in cur.get("tombstones", []) if t not in purged
+                ]
+                return {
+                    "segments": sorted(live), "tombstones": sorted(remaining)
+                }
+
+            self.log.update(_swap)
             for p in seg_paths:
                 # unique retired name: a segment number can be reused
                 # across compaction cycles, so "old-<name>" may exist

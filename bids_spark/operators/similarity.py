@@ -157,15 +157,19 @@ class LshAnnIndex:
     only the query's `bands` buckets.
     """
 
-    def __init__(self, path: str, bits: int = 32, bands: int = 8, seed: int = 42):
-        import json
+    def __init__(self, path: str, bits: int = 32, bands: int = 8, seed: int = 42,
+                 io=None, meta_log=None):
         import os
 
+        from bids_spark.io import ParquetTableIO, PosixRenameLog
+
         self.path = path
-        self.meta_path = os.path.join(path, "ann_meta.json")
-        if os.path.exists(self.meta_path):
-            with open(self.meta_path) as f:
-                m = json.load(f)
+        self.io = io or ParquetTableIO(path)
+        self.meta_log = meta_log or PosixRenameLog(
+            os.path.join(path, "ann_meta.json")
+        )
+        m = self.meta_log.read()
+        if m is not None:
             bits, bands, seed = m["bits"], m["bands"], m["seed"]
             self.dim = m["dim"]
         else:
@@ -175,44 +179,36 @@ class LshAnnIndex:
     def build(
         self, emb: DataFrame, id_col="vec_id", vec_col="embedding"
     ) -> "LshAnnIndex":
-        import json
-        import os
-
         dim = len(emb.select(vec_col).first()[vec_col])
         sigs = lsh_signatures(emb, dim, self.bits, self.seed, id_col, vec_col)
         banded = _banded_keys(sigs, self.bits, self.bands)
-        (
-            banded.repartition("band")
-            .sortWithinPartitions("key")
-            .write.mode("overwrite")
-            .partitionBy("band")
-            .parquet(os.path.join(self.path, "buckets"))
+        self.io.write(
+            banded.repartition("band").sortWithinPartitions("key"),
+            "buckets", partition_by=["band"],
         )
-        emb.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-        ).write.mode("overwrite").parquet(os.path.join(self.path, "vectors"))
+        self.io.write(
+            emb.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+            ),
+            "vectors",
+        )
         self.dim = dim
-        tmp = self.meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"bits": self.bits, "bands": self.bands, "seed": self.seed,
-                 "dim": dim},
-                f,
-            )
-        os.replace(tmp, self.meta_path)
+        # meta commits LAST — readers never see buckets without meta
+        self.meta_log.commit(
+            {"bits": self.bits, "bands": self.bands, "seed": self.seed,
+             "dim": dim}
+        )
         return self
 
     def candidates(self, spark, query_vec: list[float]) -> DataFrame:
         """Distinct vec_ids sharing ≥1 band key with the query — a
         pruned scan of exactly `bands` (band, key) buckets."""
-        import os
-
         assert self.dim is not None, "index not built"
         planes = _hyperplanes(self.dim, self.bits, self.seed)
         qbits = (planes @ np.asarray(query_vec, dtype=np.float64)) > 0
         qsig = int(sum(1 << i for i, b in enumerate(qbits) if b))
         width = self.bits // self.bands
-        buckets = spark.read.parquet(os.path.join(self.path, "buckets"))
+        buckets = self.io.read(spark, "buckets")
         cond = None
         for i in range(self.bands):
             qband = (qsig >> (i * width)) & ((1 << width) - 1)
@@ -221,10 +217,8 @@ class LshAnnIndex:
         return buckets.filter(cond).select("vec_id").distinct()
 
     def topk(self, spark, query_vec: list[float], k: int = 10) -> DataFrame:
-        import os
-
         cands = self.candidates(spark, query_vec)
-        vecs = spark.read.parquet(os.path.join(self.path, "vectors"))
+        vecs = self.io.read(spark, "vectors")
         return cosine_topk(vecs.join(cands, "vec_id", "left_semi"), query_vec, k)
 
 
@@ -249,16 +243,20 @@ class IvfAnnIndex:
     brute force (approximate ⇒ no SQL oracle, same policy as LSH-ANN).
     """
 
-    def __init__(self, path: str, n_cells: int = 16, nprobe: int = 4):
-        import json
+    def __init__(self, path: str, n_cells: int = 16, nprobe: int = 4,
+                 io=None, meta_log=None):
         import os
 
+        from bids_spark.io import ParquetTableIO, PosixRenameLog
+
         self.path = path
-        self.meta_path = os.path.join(path, "ivf_meta.json")
+        self.io = io or ParquetTableIO(path)
+        self.meta_log = meta_log or PosixRenameLog(
+            os.path.join(path, "ivf_meta.json")
+        )
         self.centroids: np.ndarray | None = None
-        if os.path.exists(self.meta_path):
-            with open(self.meta_path) as f:
-                m = json.load(f)
+        m = self.meta_log.read()
+        if m is not None:
             n_cells, nprobe = m["n_cells"], m["nprobe"]
             self.centroids = np.asarray(m["centroids"], dtype=np.float64)
         self.n_cells, self.nprobe = n_cells, nprobe
@@ -281,9 +279,6 @@ class IvfAnnIndex:
     def build(
         self, emb: DataFrame, id_col="vec_id", vec_col="embedding"
     ) -> "IvfAnnIndex":
-        import json
-        import os
-
         seeds_rows = (
             emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("e"))
             .orderBy(F.xxhash64(F.col("vid")))
@@ -317,32 +312,24 @@ class IvfAnnIndex:
             F.col(vec_col).alias("embedding"),
             self._nearest_cell(F.col(vec_col), cents).alias("cell"),
         )
-        (
-            final.repartition("cell")
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(os.path.join(self.path, "cells"))
+        self.io.write(
+            final.repartition("cell"), "cells", partition_by=["cell"]
         )
         self.centroids = cents
-        tmp = self.meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"n_cells": self.n_cells, "nprobe": self.nprobe,
-                 "centroids": cents.tolist()},
-                f,
-            )
-        os.replace(tmp, self.meta_path)
+        # meta commits LAST — a crash mid-build leaves no readable index
+        self.meta_log.commit(
+            {"n_cells": self.n_cells, "nprobe": self.nprobe,
+             "centroids": cents.tolist()}
+        )
         return self
 
     def topk(self, spark, query_vec: list[float], k: int = 10) -> DataFrame:
-        import os
-
         assert self.centroids is not None, "index not built"
         q = np.asarray(query_vec, dtype=np.float64)
         cn = self.centroids / np.linalg.norm(self.centroids, axis=1, keepdims=True)
         order = np.argsort(-(cn @ q), kind="stable")
         probe = [int(c) for c in order[: self.nprobe]]
-        cells = spark.read.parquet(os.path.join(self.path, "cells"))
+        cells = self.io.read(spark, "cells")
         probed = cells.filter(F.col("cell").isin(probe))
         return cosine_topk(probed, query_vec, k)
 
