@@ -14,14 +14,16 @@ Two input shapes:
    `abs(hash(file_path))` (/root/reference/bids/index.py:44-45, a
    documented non-determinism we must not reproduce).
 
-`extract_text` is the analogue of the reference's checksummed,
-reproducible extraction stage (/root/reference/bids/util.py:21-36 +
-elf parse at elf_utils.py:23-36): html binary → text, pure and
-versioned, enforcing the **byte-identical extracted text per url**
-invariant.  Real HTML parsing libs are out of scope in this sandbox;
-the extractor is a deterministic tag-stripper implemented as an
-Arrow-batched pandas UDF (the Spark-side plumbing — schema, batching,
-purity — is the real, tested part).
+`extract_text_expr` / `extract_text` are the analogue of the
+reference's checksummed, reproducible extraction stage
+(/root/reference/bids/util.py:21-36 + elf parse at
+elf_utils.py:23-36): html binary → text, pure and versioned, enforcing
+the **byte-identical extracted text per url** invariant.  Real HTML
+parsing libs are out of scope in this sandbox; the extractor is a
+deterministic tag-stripper.  The HOT path is pure column expressions
+(whole-stage codegen — input_hint: "no per-row Python"); the pandas
+UDF twin remains as executable spec and library seam (see the
+extraction section note below).
 """
 
 from __future__ import annotations
@@ -114,11 +116,68 @@ def synth_webpages(
     )
     pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "lang"])
     df = spark.createDataFrame(pdf, schema=schema)
-    return df.withColumn("text", extract_text_udf(F.col("html")))
+    # vectorized extraction (whole-stage codegen, no Python workers) —
+    # the UDF twin stays available for equivalence tests
+    return df.withColumn("text", extract_text_expr(F.col("html")))
+
+
+# --------------------------------------------------------------------------
+# html → text extraction
+#
+# TWO implementations of the same extraction contract:
+#   * extract_text_expr — pure Catalyst column expressions (regexp
+#     strip of script/style blocks, then tags, then whitespace
+#     collapse).  Whole-stage codegen, no Python workers: THE ingest
+#     hot path (input_hint: "no per-row Python").
+#   * extract_text(_udf) — the per-row Python reference twin (a
+#     character state machine), kept as the executable spec the
+#     committed sha256 manifest was generated from, and as the seam
+#     where a real HTML library would slot in.
+#
+# Equivalence is enforced by tests (expr output pinned to the same
+# committed manifest + expr-vs-udf equality over the synth corpus and
+# crafted script/style cases).  Documented divergences, all outside
+# the well-formed-HTML contract: (1) nested same-tag <script> blocks
+# (the state machine depth-counts, the regex closes at the first
+# </script>), (2) a bare '<' inside script content (the state machine
+# mis-parses the closer and drops the remainder), (3) control chars
+# U+001C-001F (Python str.split treats them as whitespace, Unicode
+# does not), (4) malformed UTF-8 replacement-char counts.  The
+# invariant manifest is the contract; none of these occur in it.
+# --------------------------------------------------------------------------
+
+# script/style block: open tag through the FIRST matching close tag —
+# or to end-of-input when unclosed (the state machine skips to EOF)
+_SCRIPT_STYLE_RE = (
+    r"(?is)<\s*(?:script|style)\b[^>]*>"
+    r"(?:.*?<\s*/\s*(?:script|style)\b[^>]*>|.*\z)"
+)
+# any remaining tag, or an unterminated trailing '<...' (the state
+# machine stays in tag mode to EOF)
+_TAG_RE = r"(?s)<[^>]*>|<[^>]*\z"
+
+
+def extract_text_expr(html_col) -> F.Column:
+    """Column-expression html→text (the vectorized ingest path).
+
+    Same output as ``extract_text`` on well-formed HTML (see module
+    note for the pathological divergences); runs entirely in
+    whole-stage codegen.  Measured ~2.1× the pandas-UDF twin at 32
+    local threads (267 vs 125 MB/s on 10 KB pages — BENCH/BASELINE.md,
+    extraction rows); the structural win is bigger than the local
+    ratio: no Python workers, no Arrow transfer of the full html
+    column, and no GIL contention on real executors.
+    """
+    txt = F.decode(html_col, "UTF-8")
+    txt = F.regexp_replace(txt, _SCRIPT_STYLE_RE, "")
+    txt = F.regexp_replace(txt, _TAG_RE, "")
+    # (?U): Unicode whitespace, matching Python str.split semantics
+    return F.trim(F.regexp_replace(txt, r"(?U)\s+", " "))
 
 
 def extract_text(html_bytes: bytes) -> str:
-    """Pure html→text extraction (deterministic tag stripper).
+    """Pure html→text extraction (deterministic tag stripper) — the
+    per-row Python reference twin of ``extract_text_expr``.
 
     Byte-identical output per input is the per-row invariant; tests
     pin sha256(text) per url against a committed manifest.

@@ -72,6 +72,55 @@ def test_doc_id_is_xxhash64_of_url(webpages):
     assert again["doc_id"] == row["doc_id"]
 
 
+def test_expr_extractor_equals_python_twin_on_corpus(spark):
+    """The vectorized column-expression extractor (the ingest hot
+    path) is byte-identical to the Python state-machine twin over the
+    whole synth corpus — including the edge-case rows (empty docs,
+    >40-char tokens, punctuation-glued tokens, duplicate urls)."""
+    from bids_spark.sources.corpus import extract_text_expr, extract_text_udf
+
+    raw = synth_webpages(spark, n_rows=300, seed=7).select("url", "html")
+    both = raw.select(
+        "url",
+        extract_text_expr(F.col("html")).alias("a"),
+        extract_text_udf(F.col("html")).alias("b"),
+    ).collect()
+    assert both and all(r["a"] == r["b"] for r in both)
+
+
+def test_expr_extractor_equals_python_twin_on_crafted_html(spark):
+    """Script/style stripping, attributes in close tags, unclosed
+    blocks, unterminated tags, unicode whitespace — the well-formed
+    contract surface, both implementations in lockstep."""
+    from bids_spark.sources.corpus import extract_text, extract_text_expr
+
+    cases = [
+        b"<html><body>plain text</body></html>",
+        b"<p>a</p><script>var x='NO';</script><p>b</p>",
+        b"<STYLE type='text/css'>.x{}</STYLE>visible",
+        b"< script >hidden</ script >after",
+        b"<script a='b'>x</script \t>tail",
+        b"a<script>never closed",
+        b"trailing unterminated <tag",
+        b"no tags at all",
+        b"",
+        "unicode    spaces".encode(),
+        b"<b>bold</b> and <i>italic</i> text!",
+        b"<script>one</script>mid<style>two</style>end",
+    ]
+    pdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, html binary"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in pdf.select(
+            "i", extract_text_expr(F.col("html")).alias("t")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == extract_text(c), f"case {i}: {c!r}"
+
+
 def test_extractor_strips_tags_and_scripts():
     html = (b"<html><head><title>T</title>"
             b"<script>var x = 'NOSHOW';</script>"
