@@ -56,6 +56,51 @@ def token_count(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     )
 
 
+def token_count_bpe(
+    docs: DataFrame,
+    merges_path: str | None = None,
+    id_col="doc_id",
+    text_col="text",
+) -> DataFrame:
+    """Per-doc REAL BPE token budget: merge-loop count against a
+    GPT-2-style merges table (functions/bpe.py; committed fixture by
+    default, or any published merges file).  Arrow-batched pandas UDF
+    with a per-batch word memo — the merges dict is driver-loaded and
+    ships in the closure (a few KB).  `n_bpe_ish` in token_count stays
+    as the zero-Python column-expr estimate."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from bids_spark.functions.bpe import DEFAULT_MERGES, count_tokens_str, load_merges
+
+    ranks = load_merges(merges_path or DEFAULT_MERGES)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bpe_tokens", T.LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bpe_tokens": [
+                        count_tokens_str(t or "", ranks, cache)
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return docs.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(gen, schema)
+
+
 def _stopword_ratio(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(words))) / F.greatest(
         F.size(toks), F.lit(1)
