@@ -50,8 +50,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_not_segmented": C.q_bm25_not_segmented,
         "bm25_phrase_segmented": C.q_bm25_phrase_segmented,
         "bm25_or_segmented_deleted": C.q_bm25_or_segmented_deleted,
+        # delete → auto-compaction (policy-triggered merge: purge +
+        # global stats recompute) — post-merge Lucene semantics
+        "bm25_or_compacted": C.q_bm25_or_compacted,
+        # probe-θ pruning mode (the cluster-scale default) — same oracle
+        "bm25_or_probe": C.q_bm25_or_probe,
         # training-pipeline operators
         "token_count": C.q_token_count,
+        "token_count_bpe": C.q_token_count_bpe,
         "quality_score": C.q_quality_score,
         "lang_id": C.q_lang_id,
         "fingerprint": C.q_fingerprint,
@@ -107,6 +113,14 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or_segmented_deleted": C.bm25_topk_sql(
             should=["merge", "join"], exclude_pred=C._SEG_DELETE_PRED
         ),
+        # after compaction the purged docs leave the corpus entirely:
+        # the oracle recomputes df/N/avgdl over the survivors
+        "bm25_or_compacted": C.bm25_topk_sql(
+            should=["merge", "join"], docs_where="NOT (doc_id % 7 = 0)"
+        ),
+        "bm25_or_probe": C.bm25_topk_sql(should=["merge", "join"]),
+        # token_count_bpe: no oracle — the BPE merge loop is not
+        # SQL-expressible; golden-pinned in tests/test_bpe.py
         "token_count": C.SQL_TOKEN_COUNT,
         "quality_score": C.SQL_QUALITY,
         "lang_id": C.SQL_LANG_ID,

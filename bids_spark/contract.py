@@ -65,6 +65,7 @@ def bm25_topk_sql(
     must_not: list[str] | None = None,
     k: int = 10,
     exclude_pred: str | None = None,
+    docs_where: str | None = None,
 ) -> str:
     """DuckDB SQL mirroring SearchEngine's Bool evaluation for flat
     term queries (no nesting — enough for the committed query set).
@@ -72,7 +73,13 @@ def bm25_topk_sql(
     exclude_pred: optional SQL predicate over p.doc_id marking DELETED
     docs — they are dropped from the candidate set only, while df /
     n_docs / avgdl still count them (Lucene tombstone semantics before
-    a merge; segments.SegmentedIndex.delete_docs)."""
+    a merge; segments.SegmentedIndex.delete_docs).
+
+    docs_where: optional SQL predicate over the documents table that
+    restricts the WHOLE corpus — df / n_docs / avgdl are recomputed
+    over the survivors (post-compaction semantics: compact() PURGES
+    tombstoned rows and recomputes stats, unlike the pre-merge
+    exclude_pred view)."""
     should, must, must_not = should or [], must or [], must_not or []
     pos_terms = must + should
     assert pos_terms, "pure-negative query has no SQL oracle (matches nothing)"
@@ -96,8 +103,16 @@ def bm25_topk_sql(
         )
     if exclude_pred:
         not_clause += f" AND NOT ({exclude_pred})"
+    ctes = _TOK_CTES
+    if docs_where:
+        # rebase every CTE on the filtered corpus: df/N/avgdl all
+        # recompute over the survivors (compaction purge semantics)
+        ctes = ctes.replace(
+            "FROM documents",
+            f"FROM (SELECT * FROM documents WHERE {docs_where}) documents",
+        )
     return f"""
-WITH {_TOK_CTES},
+WITH {ctes},
 qterms(term, is_must) AS (VALUES {qvals}),
 scored AS (
   SELECT p.doc_id, SUM({_BM25_SCORE_SQL}) AS score
@@ -235,11 +250,14 @@ def _blocked_index(spark: SparkSession, sf_dir: str):
     return bi
 
 
-def _search_blocked(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
+def _search_blocked(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10,
+    theta_mode: str = "dict",
+) -> DataFrame:
     from bids_spark.operators.wand import BlockedSearchEngine
 
     eng = BlockedSearchEngine(spark, _blocked_index(spark, sf_dir))
-    return eng.search(query, k).select(
+    return eng.search(query, k, theta_mode=theta_mode).select(
         F.col("rank").cast("long").alias("rank"),
         "doc_id",
         F.round("score", 6).alias("score"),
@@ -248,6 +266,14 @@ def _search_blocked(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -
 
 def q_bm25_or_blocked(spark, sf_dir):
     return _search_blocked(spark, sf_dir, "merge join")
+
+
+def q_bm25_or_probe(spark, sf_dir):
+    """Same OR query with theta_mode="probe": θ comes from decoding
+    the top blocks per term instead of the dictionary constants — the
+    cluster-scale default (tighter θ, fewer decoded blocks).  Same
+    oracle as bm25_or: probe-θ must not change results."""
+    return _search_blocked(spark, sf_dir, "merge join", theta_mode="probe")
 
 
 # every doc with doc_id % 7 == 0 is tombstoned in the "deleted"
@@ -323,6 +349,55 @@ def q_bm25_or_segmented_deleted(spark, sf_dir):
     vanish from results while survivors keep their exact pre-delete
     scores (idf/avgdl still count tombstones until compact)."""
     return _search_segmented(spark, sf_dir, "merge join", deleted=True)
+
+
+def _compacted_engine(spark, sf_dir: str):
+    """Segmented index where the %7 tombstone batch crosses the
+    auto_compact_tombstone_frac threshold, so delete_docs itself
+    triggers compact(): tombstoned rows are PURGED and df/N/avgdl
+    recomputed over the survivors.  The oracle rebuilds its stats over
+    the filtered corpus (docs_where) — this row certifies the merge
+    machinery (segments.compact + the compaction policy) under the
+    driver's independent oracle, not just pytest."""
+    import hashlib
+    import os
+    import tempfile
+
+    from bids_spark.operators.segments import SegmentedIndex
+
+    key = sf_dir.rstrip("/") + "#segcompact@" + _content_fp(sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "bids_contract_cmp_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    si = SegmentedIndex(root, auto_compact_tombstone_frac=0.01)
+    docs = load_documents(spark, sf_dir)
+    if si._read_commit() is None:
+        si.add_segment(docs.filter(F.col("doc_id") % 2 == 0), fingerprint="even")
+        si.add_segment(docs.filter(F.col("doc_id") % 2 == 1), fingerprint="odd")
+    if len(si.segment_paths()) > 1 or si._committed()["tombstones"]:
+        ids = [
+            r["doc_id"]
+            for r in docs.filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id").collect()
+        ]
+        si.delete_docs(spark, ids)  # ~14% ≥ 1% → policy compacts + purges
+    assert len(si.segment_paths()) == 1
+    assert not si._committed()["tombstones"]
+    return si.engine(spark)
+
+
+def q_bm25_or_compacted(spark, sf_dir):
+    """OR query after delete → auto-compaction: purged docs are gone
+    AND the surviving docs' scores shift to the recomputed global
+    stats (df/N/avgdl exclude the purged docs) — post-merge Lucene
+    semantics, the complement of the pre-merge _deleted row."""
+    eng = _compacted_engine(spark, sf_dir)
+    return eng.search("merge join", 10).select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
 
 
 def q_bm25_and_blocked(spark, sf_dir):
@@ -426,6 +501,14 @@ _ES = "'el','la','los','y','es','un'"
 
 def q_token_count(spark, sf_dir):
     return ts.token_count(load_documents(spark, sf_dir))
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """Real merges-table BPE token budget (functions/bpe.py).  The
+    merge loop is not SQL-expressible, so this row is rows-only in the
+    driver gate; exactness is pinned by the committed golden fixture
+    (tests/golden/bpe_counts_sf0001.json, tests/test_bpe.py)."""
+    return ts.token_count_bpe(load_documents(spark, sf_dir))
 
 
 SQL_TOKEN_COUNT = f"""

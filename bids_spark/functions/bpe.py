@@ -33,14 +33,24 @@ _PRESPLIT = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+")
 @lru_cache(maxsize=8)
 def load_merges(path: str = DEFAULT_MERGES) -> dict[tuple[str, str], int]:
     """merges.txt → {(a, b): rank} (lower rank = earlier merge)."""
+    if path == DEFAULT_MERGES and not os.path.exists(path):
+        # package loaded from the --py-files zip: __file__ points inside
+        # the archive, so read the committed fixture through the import
+        # system (zipimport-backed) instead of the filesystem
+        from importlib.resources import files
+
+        text = files("bids_spark.functions").joinpath(
+            "bpe_merges.txt"
+        ).read_text()
+    else:
+        with open(path) as f:
+            text = f.read()
     ranks: dict[tuple[str, str], int] = {}
-    with open(path) as f:
-        for line in f:
-            line = line.rstrip("\n")
-            if not line or line.startswith("#"):
-                continue
-            a, _, b = line.partition(" ")
-            ranks[(a, b)] = len(ranks)
+    for line in text.splitlines():
+        if not line or line.startswith("#"):
+            continue
+        a, _, b = line.partition(" ")
+        ranks[(a, b)] = len(ranks)
     return ranks
 
 

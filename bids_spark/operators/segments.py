@@ -88,7 +88,23 @@ class SegmentedIndex:
         root: str,
         commit_log: CommitLog | None = None,
         io: TableIO | None = None,
+        auto_compact_segments: int | None = None,
+        auto_compact_tombstone_frac: float | None = None,
     ):
+        # Compaction policy (tantivy's background merge analogue,
+        # playground/junk/create.py:34 — tantivy merges in a thread
+        # pool; here the single writer compacts inline at the end of
+        # the mutation that crossed a threshold):
+        #   auto_compact_segments: compact when the committed segment
+        #     count reaches this (query latency is linear in segment
+        #     count — every term touches one dictionary scan + one
+        #     blocks scan per segment);
+        #   auto_compact_tombstone_frac: compact when tombstoned docs
+        #     exceed this fraction of indexed docs (deleted docs still
+        #     cost decode + anti-join until purged).
+        # None (default) = explicit compact() only.
+        self.auto_compact_segments = auto_compact_segments
+        self.auto_compact_tombstone_frac = auto_compact_tombstone_frac
         self.root = root
         # storage seam (bids_spark/io.py): segments.json goes through
         # the commit log (PosixRenameLog keeps today's file format;
@@ -199,7 +215,36 @@ class SegmentedIndex:
             }
 
         self.log.update(_append)
+        self._maybe_auto_compact(docs.sparkSession)
         return bi
+
+    def _maybe_auto_compact(self, spark: SparkSession):
+        """Run compact() if the configured policy thresholds are
+        crossed.  Returns the merged BlockedIndex, or None if no
+        policy fired.  Called by the single writer at the end of
+        add_segment/delete_docs — the commit it just made is already
+        visible, so a crash inside the compaction loses nothing."""
+        n_seg = len(self.segment_paths())
+        c = self._committed()
+        fire = (
+            self.auto_compact_segments is not None
+            and n_seg >= self.auto_compact_segments
+        )
+        if (
+            not fire
+            and self.auto_compact_tombstone_frac is not None
+            and c["tombstones"]
+        ):
+            total = 0
+            for p in self.segment_paths():
+                man = BlockedIndex(p)._manifest()
+                total += int(man["stages"].get("blocks", {}).get("n_docs", 0))
+            tomb = self.tombstones(spark)
+            if total and tomb is not None:
+                fire = tomb.count() / total >= self.auto_compact_tombstone_frac
+        if not fire or not (n_seg >= 2 or c["tombstones"]):
+            return None
+        return self.compact(spark)
 
     # -- deletes (segment tombstones) ---------------------------------------
 
@@ -244,6 +289,7 @@ class SegmentedIndex:
             }
 
         self.log.update(_add_tomb)
+        self._maybe_auto_compact(spark)
 
     def tombstones(self, spark: SparkSession) -> DataFrame | None:
         names = self._committed()["tombstones"]

@@ -22,6 +22,7 @@ brute force in pytest (approximate ≠ oracle-matchable).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -230,8 +231,11 @@ class IvfAnnIndex:
     - seeds: the `n_cells` vectors with the smallest xxhash64(vec_id)
       (a deterministic corpus sample — one TakeOrdered, no RNG),
     - one Lloyd refinement: every vector is assigned to its nearest
-      seed by cosine (n_cells literal dot products, JVM column math —
-      no UDF, no cross join), then cells are re-centred by the
+      seed by cosine — JVM column math (n_cells literal dot products,
+      no UDF, no cross join) up to VECTORIZE_CELLS_ABOVE cells, one
+      Arrow-batched matrix multiply per batch beyond that (the CASE
+      chain hits Catalyst expression-size limits at the thousands of
+      cells a 10^12 corpus needs) — then cells are re-centred by the
       element-wise mean (posexplode → groupBy(cell, idx) partial agg).
 
     The index materializes vectors as parquet PARTITIONED BY cell; a
@@ -261,6 +265,13 @@ class IvfAnnIndex:
             self.centroids = np.asarray(m["centroids"], dtype=np.float64)
         self.n_cells, self.nprobe = n_cells, nprobe
 
+    # Above this cell count the when-chain assignment (one nested CASE
+    # per cell) hits Catalyst expression-tree and codegen limits long
+    # before data does — switch to one Arrow-batched matrix multiply.
+    # A 10^12-vector corpus wants thousands of cells (~√n ideally);
+    # the matmul path is the one that survives that.
+    VECTORIZE_CELLS_ABOVE = 64
+
     @staticmethod
     def _nearest_cell(vec_col, centroids: np.ndarray):
         """argmax-by-cosine over literal centroids as pure column math
@@ -276,6 +287,36 @@ class IvfAnnIndex:
             best_cos = F.when(better, cos).otherwise(best_cos)
         return best_cell
 
+    @staticmethod
+    def _nearest_cell_vectorized(vec_col, centroids: np.ndarray):
+        """Same argmax-by-cosine as an Arrow-batched pandas UDF: one
+        (batch × dim) @ (dim × n_cells) matrix multiply per Arrow batch
+        instead of n_cells CASE expressions per row.  np.argmax takes
+        the FIRST maximum, matching the when-chain's strict-> tie rule
+        (ties → lowest cell id); parity is property-tested.  The normed
+        centroid matrix (n_cells × dim float64) ships in the closure —
+        a few MB even at thousands of cells × transformer dims."""
+        normed = np.ascontiguousarray(
+            centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        )
+
+        @F.pandas_udf("int")
+        def assign(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype="int32")
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+            return pd.Series(np.argmax(m @ normed.T, axis=1).astype("int32"))
+
+        return assign(vec_col)
+
+    @classmethod
+    def _assign_cell(cls, vec_col, centroids: np.ndarray):
+        """Dispatch: column math while the CASE chain stays small,
+        vectorized matmul above VECTORIZE_CELLS_ABOVE cells."""
+        if centroids.shape[0] > cls.VECTORIZE_CELLS_ABOVE:
+            return cls._nearest_cell_vectorized(vec_col, centroids)
+        return cls._nearest_cell(vec_col, centroids)
+
     def build(
         self, emb: DataFrame, id_col="vec_id", vec_col="embedding"
     ) -> "IvfAnnIndex":
@@ -289,7 +330,7 @@ class IvfAnnIndex:
         assigned = emb.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("embedding"),
-            self._nearest_cell(F.col(vec_col), seeds).alias("cell"),
+            self._assign_cell(F.col(vec_col), seeds).alias("cell"),
         )
         # one Lloyd step: element-wise mean per cell, n_cells·dim rows
         # of metadata to the driver (kilobytes at any corpus size)
@@ -310,7 +351,7 @@ class IvfAnnIndex:
         final = emb.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("embedding"),
-            self._nearest_cell(F.col(vec_col), cents).alias("cell"),
+            self._assign_cell(F.col(vec_col), cents).alias("cell"),
         )
         self.io.write(
             final.repartition("cell"), "cells", partition_by=["cell"]

@@ -277,13 +277,16 @@ class BlockedSearchEngine(BooleanEvaluator):
         )
         return float(probe_topk[-1]["s"]) if len(probe_topk) >= k else 0.0
 
-    def _topk_or_pruned(
+    def _or_pruned_survivors(
         self, terms: list[str], k: int, theta_mode: str = "dict"
-    ) -> DataFrame:
+    ) -> tuple[DataFrame, DataFrame, float] | None:
+        """(candidate blocks, surviving blocks, θ) for a flat OR query —
+        the shared core of _topk_or_pruned and pruning_stats.  None when
+        no query term exists in the index."""
         tb = self._term_blocks(terms)
         meta = self._term_meta(terms)  # one pruned scan of tiny rows
         if not meta:
-            return self._empty()
+            return None
         if len(set(terms)) == 1:
             # single term: prune condition is bm(b) ≥ θ directly
             gmax, gsum = {terms[0]: 0.0}, 0.0
@@ -317,6 +320,15 @@ class BlockedSearchEngine(BooleanEvaluator):
         survivors = tb.join(gmax_df, "term").filter(
             F.col("block_max_score") + (F.lit(gsum) - F.col("gmax")) >= F.lit(theta)
         )
+        return tb, survivors, theta
+
+    def _topk_or_pruned(
+        self, terms: list[str], k: int, theta_mode: str = "dict"
+    ) -> DataFrame:
+        parts = self._or_pruned_survivors(terms, k, theta_mode)
+        if parts is None:
+            return self._empty()
+        _tb, survivors, _theta = parts
         return (
             self._decode(survivors)
             .groupBy("doc_id")
@@ -395,6 +407,48 @@ class BlockedSearchEngine(BooleanEvaluator):
         )
 
     # -- public ---------------------------------------------------------------
+
+    def pruning_stats(
+        self, query: str, k: int = 10, theta_mode: str = "dict"
+    ) -> dict:
+        """Block-max pruning evidence for a flat OR query: how many
+        candidate blocks/postings the query terms own vs how many
+        survive the θ filter (the fraction actually decoded).  These
+        are the counters that show the BMW design pruning — sub-second
+        small-corpus latencies are scheduling-bound and never do
+        (tools/pruning_evidence.py records them at 3M docs for
+        BENCH/PLANS.md)."""
+        ast = parse_query(query)
+        terms = [t.term for t in ast.should if isinstance(t, Term)]
+        assert (
+            terms
+            and not ast.must
+            and not ast.must_not
+            and len(terms) == len(ast.should)
+        ), "pruning_stats covers flat pure-OR queries (the θ-pruned path)"
+        out = {
+            "query": query, "k": k, "theta_mode": theta_mode,
+            "blocks_total": 0, "postings_total": 0,
+            "blocks_survive": 0, "postings_survive": 0, "theta": 0.0,
+        }
+        parts = self._or_pruned_survivors(terms, k, theta_mode)
+        if parts is None:
+            return out
+        tb, survivors, theta = parts
+        tot = tb.agg(
+            F.count("*").alias("b"), F.sum("n").alias("p")
+        ).first()
+        sur = survivors.agg(
+            F.count("*").alias("b"), F.sum("n").alias("p")
+        ).first()
+        out.update(
+            theta=float(theta),
+            blocks_total=int(tot["b"] or 0),
+            postings_total=int(tot["p"] or 0),
+            blocks_survive=int(sur["b"] or 0),
+            postings_survive=int(sur["p"] or 0),
+        )
+        return out
 
     def search(
         self,

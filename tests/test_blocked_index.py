@@ -227,3 +227,20 @@ def test_and_path_broadcast_guard(spark, index, naive):
     assert got == want
     ref = [(r["rank"], r["doc_id"]) for r in naive.search(q, 10).collect()]
     assert got == ref
+
+
+def test_pruning_stats_invariants(spark, index):
+    """pruning_stats must report consistent counters: survivors are a
+    subset of candidates, probe-θ is at least dict-θ (tighter or
+    equal), and a 0-θ query reports zero pruning."""
+    eng = BlockedSearchEngine(spark, index)
+    d = eng.pruning_stats("merge join", 10, theta_mode="dict")
+    p = eng.pruning_stats("merge join", 10, theta_mode="probe")
+    for s in (d, p):
+        assert 0 <= s["blocks_survive"] <= s["blocks_total"]
+        assert 0 <= s["postings_survive"] <= s["postings_total"]
+        assert s["blocks_total"] > 0
+    assert p["theta"] >= d["theta"] >= 0.0
+    assert p["postings_survive"] <= d["postings_survive"]
+    miss = eng.pruning_stats("zzzmissing", 10)
+    assert miss["blocks_total"] == 0 and miss["blocks_survive"] == 0

@@ -22,7 +22,7 @@ def _tree_files() -> dict[str, bytes]:
     pkg = os.path.join(REPO, "bids_spark")
     for root, _dirs, files in os.walk(pkg):
         for f in sorted(files):
-            if f.endswith(".py"):
+            if f.endswith((".py", ".txt")):
                 full = os.path.join(root, f)
                 with open(full, "rb") as fh:
                     out[os.path.relpath(full, REPO)] = fh.read()
@@ -35,7 +35,11 @@ def test_dist_zip_matches_source_tree():
     )
     tree = _tree_files()
     with zipfile.ZipFile(ZIP) as z:
-        members = {n: z.read(n) for n in z.namelist() if n.endswith(".py")}
+        members = {
+            n: z.read(n)
+            for n in z.namelist()
+            if n.endswith((".py", ".txt"))
+        }
     missing = sorted(set(tree) - set(members))
     extra = sorted(set(members) - set(tree))
     stale = sorted(

@@ -271,3 +271,38 @@ def test_ivf_ann_recall_and_pruning(spark, emb, tmp_path):
     got1 = [(r["rank"], r["vec_id"]) for r in idx.topk(spark, qv, 10).collect()]
     got2 = [(r["rank"], r["vec_id"]) for r in re.topk(spark, qv, 10).collect()]
     assert got1 == got2
+
+
+def test_ivf_cell_assignment_parity_and_vectorized_build(spark, emb, tmp_path):
+    """The Arrow-batched matmul assignment must agree with the
+    when-chain column-math assignment vector-for-vector, and a build
+    above VECTORIZE_CELLS_ABOVE (which routes through the matmul path)
+    must stay exactly correct: with nprobe = n_cells every cell is
+    probed, so topk must equal brute force."""
+    dim = len(emb.first()["embedding"])
+    cents = np.random.RandomState(7).standard_normal((12, dim))
+    chain = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id",
+            sim.IvfAnnIndex._nearest_cell(F.col("embedding"), cents).alias("cell"),
+        ).collect()
+    }
+    matmul = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id",
+            sim.IvfAnnIndex._nearest_cell_vectorized(
+                F.col("embedding"), cents
+            ).alias("cell"),
+        ).collect()
+    }
+    assert chain == matmul
+    n_cells = sim.IvfAnnIndex.VECTORIZE_CELLS_ABOVE + 32  # forces matmul path
+    idx = sim.IvfAnnIndex(
+        str(tmp_path / "ivf_big"), n_cells=n_cells, nprobe=n_cells
+    ).build(emb)
+    qv = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    truth = [(r["rank"], r["vec_id"]) for r in sim.cosine_topk(emb, qv, 10).collect()]
+    got = [(r["rank"], r["vec_id"]) for r in idx.topk(spark, qv, 10).collect()]
+    assert got == truth

@@ -244,3 +244,54 @@ def test_compact_purges_tombstones(spark, docs, deletable):
     assert victim not in [r["doc_id"] for r in eng.search("data", 10).collect()]
     # merge purges deletions from the stats too (Lucene merge semantics)
     assert eng._stats()[0] == docs.count() - 1
+
+
+def test_auto_compact_segment_count_policy(spark, docs, tmp_path):
+    """With auto_compact_segments=3, the append that brings the
+    committed set to 3 segments must merge them into one, and the
+    merged index must stay rank/score-identical to a single engine."""
+    si = SegmentedIndex(str(tmp_path / "ac"), auto_compact_segments=3)
+    si.add_segment(docs.filter(docs.doc_id % 3 == 0), fingerprint="a",
+                   n_partitions=4)
+    si.add_segment(docs.filter(docs.doc_id % 3 == 1), fingerprint="b",
+                   n_partitions=4)
+    assert len(si.segment_paths()) == 2  # below threshold: no merge
+    si.add_segment(docs.filter(docs.doc_id % 3 == 2), fingerprint="c",
+                   n_partitions=4)
+    assert len(si.segment_paths()) == 1  # policy fired: one merged segment
+    naive = SearchEngine.from_documents(docs)
+    got = [
+        (r["rank"], r["doc_id"])
+        for r in si.engine(spark).search("merge join", 10).collect()
+    ]
+    want = [
+        (r["rank"], r["doc_id"])
+        for r in naive.search("merge join", 10).collect()
+    ]
+    assert got == want
+
+
+def test_auto_compact_tombstone_frac_policy(spark, docs, tmp_path):
+    """With auto_compact_tombstone_frac=0.2, small deletes leave
+    tombstones in place; crossing 20% of indexed docs triggers a
+    compaction that purges them (tombstone list empties, deleted docs
+    gone from the postings themselves)."""
+    si = SegmentedIndex(str(tmp_path / "act"), auto_compact_tombstone_frac=0.2)
+    si.add_segment(docs.filter(docs.doc_id % 2 == 0), fingerprint="e",
+                   n_partitions=4)
+    si.add_segment(docs.filter(docs.doc_id % 2 == 1), fingerprint="o",
+                   n_partitions=4)
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    n = len(ids)
+    few = ids[: max(1, n // 20)]          # 5% — under the threshold
+    si.delete_docs(spark, few)
+    assert si._committed()["tombstones"], "small delete must NOT compact"
+    assert len(si.segment_paths()) == 2
+    more = ids[: n // 4]                  # 25% — crosses the threshold
+    si.delete_docs(spark, more)
+    assert si._committed()["tombstones"] == []  # purged on merge
+    assert len(si.segment_paths()) == 1
+    hits = {
+        r["doc_id"] for r in si.engine(spark).search("the", 500).collect()
+    }
+    assert hits.isdisjoint(set(more))

@@ -16,7 +16,10 @@ def build(out: str = None) -> str:
         pkg = os.path.join(REPO, "bids_spark")
         for root, _dirs, files in os.walk(pkg):
             for f in files:
-                if f.endswith(".py"):
+                # .py modules plus committed data fixtures the package
+                # reads at runtime (e.g. functions/bpe_merges.txt via
+                # importlib.resources when running from the zip)
+                if f.endswith((".py", ".txt")):
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, REPO))
     return out
