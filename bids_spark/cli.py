@@ -200,6 +200,7 @@ def cmd_append(
     directory: str | None,
     parquet: str | None,
     pattern: str = "*",
+    auto_compact: int | None = None,
 ) -> int:
     """Incremental add: ONE new immutable segment per invocation (the
     reference's add-then-commit flow, playground/example/indexer.py:
@@ -242,6 +243,12 @@ def cmd_append(
         f"Appended segment {n_seg + 1}: dataset now holds {n} documents "
         f"in {len(si.segment_paths())} segments"
     )
+    if auto_compact and len(si.segment_paths()) >= auto_compact:
+        # route through cmd_compact, NOT SegmentedIndex's own policy:
+        # the CLI keeps a stored-fields docs store that compact must
+        # purge in the same breath (see cmd_compact)
+        print(f"Auto-compacting ({len(si.segment_paths())} ≥ {auto_compact})")
+        return cmd_compact(spark)
     return 0
 
 
@@ -419,6 +426,11 @@ def main(argv: list[str] | None = None) -> int:
         "--compact", action="store_true",
         help="merge all segments into one, purging tombstones",
     )
+    p.add_argument(
+        "--auto-compact", type=int, metavar="N",
+        help="with --append: compact automatically when the segment "
+             "count reaches N (tantivy background-merge analogue)",
+    )
     p.add_argument("--search", metavar="QUERY")
     p.add_argument("--results", type=int, default=10)
     p.add_argument(
@@ -448,7 +460,10 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_index(spark, a.index, a.index_parquet, a.pattern)
         if a.append or a.append_parquet:
             spark = _get_spark(a.verbose)
-            return cmd_append(spark, a.append, a.append_parquet, a.pattern)
+            return cmd_append(
+                spark, a.append, a.append_parquet, a.pattern,
+                auto_compact=a.auto_compact,
+            )
         if a.delete_doc:
             spark = _get_spark(a.verbose)
             return cmd_delete(spark, a.delete_doc)

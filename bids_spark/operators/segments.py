@@ -127,13 +127,27 @@ class SegmentedIndex:
             return None
         c.setdefault("segments", [])
         c.setdefault("tombstones", [])
+        # names compacted AWAY — kept so an exactly-once writer
+        # replaying an already-merged named segment (streaming
+        # micro-batch retry after a compaction) no-ops instead of
+        # re-appending docs the merged segment already contains
+        c.setdefault("retired", [])
         return c
 
-    def _write_commit(self, segments: list[str], tombstones: list[str]) -> None:
+    def _write_commit(
+        self,
+        segments: list[str],
+        tombstones: list[str],
+        retired: list[str] | None = None,
+    ) -> None:
         """Atomic single commit point (rename or conditional put,
         backend-dependent)."""
         self.log.commit(
-            {"segments": sorted(segments), "tombstones": sorted(tombstones)}
+            {
+                "segments": sorted(segments),
+                "tombstones": sorted(tombstones),
+                "retired": sorted(retired or []),
+            }
         )
 
     def _committed(self) -> dict:
@@ -149,7 +163,7 @@ class SegmentedIndex:
                 if d.startswith("seg-")
                 and BlockedIndex(os.path.join(self.root, d)).is_servable()
             )
-        return {"segments": names, "tombstones": []}
+        return {"segments": names, "tombstones": [], "retired": []}
 
     def segment_paths(self) -> list[str]:
         return [
@@ -179,6 +193,15 @@ class SegmentedIndex:
         build_kwargs["score_mode"] = "dl"
         build_kwargs.setdefault("with_positions", True)
         c = self._committed()
+        if name is not None and (
+            name in c["segments"] or name in c.get("retired", [])
+        ):
+            # exactly-once replay: the named segment is already served
+            # (committed) or its docs already live inside a merged
+            # segment (retired by a compaction) — re-appending would
+            # double-count, and for a retired name the directory was
+            # renamed away, so a rebuild would also waste a full build
+            return BlockedIndex(os.path.join(self.root, name))
         if name is None:
             # collision-free default: count-based start, but never reuse
             # an EXISTING directory (committed or not) — after a
@@ -208,10 +231,20 @@ class SegmentedIndex:
                 # segments, then add the new one
                 cur = self._committed()
                 cur["segments"] = [n for n in cur["segments"] if n != name]
+            if name in set(cur.get("retired", [])):
+                # a compaction retired this name between our build and
+                # this commit (CAS retry path): its docs are already in
+                # the merged segment — do not resurrect it
+                return {
+                    "segments": sorted(cur.get("segments", [])),
+                    "tombstones": sorted(cur.get("tombstones", [])),
+                    "retired": sorted(cur.get("retired", [])),
+                }
             segs = set(cur.get("segments", [])) | {name}
             return {
                 "segments": sorted(segs),
                 "tombstones": sorted(cur.get("tombstones", [])),
+                "retired": sorted(cur.get("retired", [])),
             }
 
         self.log.update(_append)
@@ -286,6 +319,7 @@ class SegmentedIndex:
             return {
                 "segments": sorted(cur.get("segments", [])),
                 "tombstones": sorted(set(cur.get("tombstones", [])) | {name}),
+                "retired": sorted(cur.get("retired", [])),
             }
 
         self.log.update(_add_tomb)
@@ -342,7 +376,9 @@ class SegmentedIndex:
         # the legacy directory-listing fallback
         pre = self._committed()
         if self._read_commit() is None:
-            self._write_commit(pre["segments"], pre["tombstones"])
+            self._write_commit(
+                pre["segments"], pre["tombstones"], pre.get("retired", [])
+            )
         seg_paths = self.segment_paths()
         # a single segment is compactable when tombstones need purging
         assert seg_paths and (
@@ -442,7 +478,13 @@ class SegmentedIndex:
                     t for t in cur.get("tombstones", []) if t not in purged
                 ]
                 return {
-                    "segments": sorted(live), "tombstones": sorted(remaining)
+                    "segments": sorted(live),
+                    "tombstones": sorted(remaining),
+                    # merged-away names stay on record so a replayed
+                    # exactly-once append of one of them no-ops
+                    "retired": sorted(
+                        set(cur.get("retired", [])) | src
+                    ),
                 }
 
             self.log.update(_swap)

@@ -106,11 +106,25 @@ class SegmentedStreamIndexer:
     discovery exactly-once.  `engine()` picks up all committed
     segments — the reader-reload-per-search semantics of D11."""
 
-    def __init__(self, out_dir: str, n_partitions: int | None = None):
+    def __init__(
+        self,
+        out_dir: str,
+        n_partitions: int | None = None,
+        auto_compact_segments: int | None = None,
+    ):
         from bids_spark.operators.segments import SegmentedIndex
 
         self.out_dir = out_dir
-        self.seg_index = SegmentedIndex(os.path.join(out_dir, "segments"))
+        # auto_compact_segments bounds the segment count under
+        # continuous ingest (query latency grows with segment count —
+        # tools/segment_curve.py): the micro-batch append that crosses
+        # the threshold merges inline.  Replays of merged-away batch
+        # names no-op via the commit's retired list (exactly-once is
+        # preserved across compactions).
+        self.seg_index = SegmentedIndex(
+            os.path.join(out_dir, "segments"),
+            auto_compact_segments=auto_compact_segments,
+        )
         self.checkpoint = os.path.join(out_dir, "_checkpoint")
         self.n_partitions = n_partitions
 

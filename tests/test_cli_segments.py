@@ -106,3 +106,29 @@ def test_cli_append_delete_compact(tmp_path, spark):
     _cli(env2, "--index-parquet", old_pq)
     r = _cli(env2, "--delete-doc", "1")
     assert r.returncode == 1 and "segmented" in r.stderr
+
+
+@pytest.mark.slow
+def test_cli_auto_compact(tmp_path, spark):
+    """--append --auto-compact N merges when the segment count reaches
+    N, through cmd_compact (so the stored-fields docs store is purged
+    in the same breath), and search keeps working afterwards."""
+    env = dict(os.environ,
+               BIDS_DATASET=str(tmp_path / "ds_ac"),
+               BIDS_SPARK_CLI_CORES="4",
+               PYTHONPATH=REPO)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pq1 = str(tmp_path / "p1.parquet")
+    pq2 = str(tmp_path / "p2.parquet")
+    docs.filter("doc_id < 250").select("doc_id", "text").write.parquet(pq1)
+    docs.filter("doc_id >= 250").select("doc_id", "text").write.parquet(pq2)
+    r = _cli(env, "--initialise")
+    assert r.returncode == 0, r.stderr
+    r = _cli(env, "--append-parquet", pq1, "--auto-compact", "2")
+    assert r.returncode == 0, r.stderr
+    assert "Auto-compacting" not in r.stdout  # 1 segment: below threshold
+    r = _cli(env, "--append-parquet", pq2, "--auto-compact", "2")
+    assert r.returncode == 0, r.stderr
+    assert "Auto-compacting" in r.stdout and "Compacted" in r.stdout
+    r = _cli(env, "--search", "merge join", "--results", "3")
+    assert r.returncode == 0 and _hits(r.stdout)

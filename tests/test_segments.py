@@ -295,3 +295,28 @@ def test_auto_compact_tombstone_frac_policy(spark, docs, tmp_path):
         r["doc_id"] for r in si.engine(spark).search("the", 500).collect()
     }
     assert hits.isdisjoint(set(more))
+
+
+def test_replay_of_retired_named_segment_noops(spark, docs, tmp_path):
+    """Exactly-once across compactions: a replayed NAMED append (a
+    streaming micro-batch retry) whose segment was already merged away
+    must no-op — the commit's retired list remembers merged names, so
+    the docs are not double-counted and the directory is not rebuilt."""
+    si = SegmentedIndex(str(tmp_path / "rr"))
+    a = docs.filter(docs.doc_id % 2 == 0)
+    b = docs.filter(docs.doc_id % 2 == 1)
+    si.add_segment(a, fingerprint="a", name="seg-batch-000000", n_partitions=4)
+    si.add_segment(b, fingerprint="b", name="seg-batch-000001", n_partitions=4)
+    si.compact(spark)
+    assert len(si.segment_paths()) == 1
+    before = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in si.engine(spark).search("merge join", 10).collect()
+    ]
+    si.add_segment(b, fingerprint="b", name="seg-batch-000001", n_partitions=4)
+    assert len(si.segment_paths()) == 1, "retired name must not resurrect"
+    after = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in si.engine(spark).search("merge join", 10).collect()
+    ]
+    assert after == before

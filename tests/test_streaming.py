@@ -106,3 +106,40 @@ def test_segmented_stream_matches_batch(spark, tmp_path):
     # restart with same checkpoint: nothing re-processed, segments stable
     sx.start(spark, os.path.join(landing, "*")).awaitTermination(120)
     assert sx.seg_index.segment_paths() == segs
+
+
+def test_streaming_auto_compaction(spark, tmp_path):
+    """Continuous ingest with auto_compact_segments=2: the micro-batch
+    that brings the committed count to 2 merges inline, results stay
+    identical to a batch build over the union, and a checkpoint
+    restart re-processes nothing (merged batch names are retired, not
+    forgotten)."""
+    from bids_spark.streaming.incremental import SegmentedStreamIndexer
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    out = str(tmp_path / "segidx_ac")
+    rows1 = [(1, "spark streaming ingest first batch"),
+             (2, "merge join sort window")]
+    rows2 = [(3, "second batch arrives with merge and join terms"),
+             (4, "streaming state lives in the checkpoint")]
+    sx = SegmentedStreamIndexer(out, n_partitions=2, auto_compact_segments=2)
+    _write_batch(spark, landing, "b1", rows1)
+    sx.start(spark, os.path.join(landing, "*")).awaitTermination(120)
+    assert len(sx.seg_index.segment_paths()) == 1
+    _write_batch(spark, landing, "b2", rows2)
+    sx.start(spark, os.path.join(landing, "*")).awaitTermination(120)
+    segs = sx.seg_index.segment_paths()
+    assert len(segs) == 1, "2nd batch must have auto-compacted"
+    union = spark.createDataFrame(
+        pd.DataFrame(rows1 + rows2, columns=["doc_id", "text"])
+    )
+    naive = SearchEngine.from_documents(union, cache=False)
+    eng = sx.engine(spark)
+    for q in ["merge join", "streaming", '"merge join"']:
+        got = [(r["rank"], r["doc_id"]) for r in eng.search(q, 10).collect()]
+        want = [(r["rank"], r["doc_id"]) for r in naive.search(q, 10).collect()]
+        assert got == want, q
+    # restart on the same checkpoint: no re-processing, state stable
+    sx.start(spark, os.path.join(landing, "*")).awaitTermination(120)
+    assert sx.seg_index.segment_paths() == segs
