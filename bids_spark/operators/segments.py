@@ -204,13 +204,19 @@ class SegmentedIndex:
             return BlockedIndex(os.path.join(self.root, name))
         if name is None:
             # collision-free default: count-based start, but never reuse
-            # an EXISTING directory (committed or not) — after a
-            # compaction the committed count drops below the highest
-            # on-disk number, and a crashed build may have left a
-            # partial dir whose stale manifest must not be resumed
-            # under a different doc set
+            # an EXISTING directory (a crashed build may have left a
+            # partial dir whose stale manifest must not be resumed under
+            # a different doc set), a committed name, or a RETIRED name
+            # — compaction renames merged-away dirs to old-* so the
+            # directory probe alone would happily re-pick a retired
+            # number, and the commit-time retired guard would then
+            # treat this fresh segment as a replay and drop it
+            taken = set(c["segments"]) | set(c.get("retired", []))
             i = len(c["segments"])
-            while os.path.exists(os.path.join(self.root, f"seg-{i:04d}")):
+            while (
+                f"seg-{i:04d}" in taken
+                or os.path.exists(os.path.join(self.root, f"seg-{i:04d}"))
+            ):
                 i += 1
             name = f"seg-{i:04d}"
         assert name.startswith("seg-")

@@ -6,6 +6,7 @@ substitution (operators/segments.py)."""
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 
@@ -320,3 +321,28 @@ def test_replay_of_retired_named_segment_noops(spark, docs, tmp_path):
         for r in si.engine(spark).search("merge join", 10).collect()
     ]
     assert after == before
+
+
+def test_default_named_append_after_compact_is_committed(spark, docs, tmp_path):
+    """A FRESH default-named append after a compaction must not land on
+    a retired number (compaction renames merged dirs to old-*, so the
+    directory probe alone re-picks it) — the new segment must be
+    committed and its docs searchable."""
+    si = SegmentedIndex(str(tmp_path / "dn"))
+    si.add_segment(docs.filter(docs.doc_id % 2 == 0), fingerprint="a",
+                   n_partitions=4)
+    si.add_segment(docs.filter(docs.doc_id % 2 == 1), fingerprint="b",
+                   n_partitions=4)
+    si.compact(spark)
+    retired = set(si._committed()["retired"])
+    assert retired == {"seg-0000", "seg-0001"}
+    fresh = spark.createDataFrame(
+        [(900001, "ocelotword unique content here")],
+        "doc_id long, text string",
+    )
+    si.add_segment(fresh, fingerprint="c", n_partitions=4)
+    names = {os.path.basename(p) for p in si.segment_paths()}
+    assert len(names) == 2 and names.isdisjoint(retired)
+    hits = [r["doc_id"]
+            for r in si.engine(spark).search("ocelotword", 10).collect()]
+    assert hits == [900001]
