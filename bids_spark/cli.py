@@ -19,6 +19,9 @@ Mirrors the reference CLI surface (/root/reference/bids/search.py):
     --results N             top-k (default 10)           (search.py:20)
     --offset N              pagination: skip first N     (ui/results.py:188-215)
     --snippets              highlight window per hit     (ui/results.py:325-344)
+    --interactive           page results interactively   (ui/results.py:107-344
+                            via bids_spark/ui.py — the TUI's controls on
+                            a pipe-friendly stdin/stdout loop)
     --export FILE.zip       archive the dataset          (index.py:199-205)
     --import FILE.zip       restore a dataset            (index.py:207-213)
     --verbose               debug logging
@@ -304,6 +307,7 @@ def cmd_search(
     limit: int,
     offset: int = 0,
     show_snippets: bool = False,
+    interactive: bool = False,
 ) -> int:
     if not os.path.exists(_docs_path()):
         print("No dataset — run --index first", file=sys.stderr)
@@ -365,8 +369,15 @@ def cmd_search(
             continue
         seen.add(key)
         rows.append(r)
-        if len(rows) >= offset + limit:
+        if not interactive and len(rows) >= offset + limit:
             break
+    if interactive:
+        # interactive mode pages the whole collected (deduped) top-k,
+        # exactly like the reference TUI pages its collected list
+        # (ui/results.py:188-215); --offset is a non-interactive affair
+        from bids_spark.ui import rows_from_search, run_pager
+
+        return run_pager(rows_from_search(rows, show_snippets))
     rows = rows[offset:]
     if not rows:
         print("No results found")
@@ -443,6 +454,12 @@ def main(argv: list[str] | None = None) -> int:
         help="show a highlight window around the earliest query-term hit "
              "(ui/results.py:325-344 analogue)",
     )
+    p.add_argument(
+        "--interactive", action="store_true",
+        help="with --search: page results interactively (reference TUI "
+             "controls: n/p/f/l, g N, NUMBER to view a doc, /TERM + m/M "
+             "for in-document match navigation, q to quit)",
+    )
     p.add_argument("--export", metavar="ZIP")
     p.add_argument("--import", dest="import_", metavar="ZIP")
     p.add_argument("--verbose", action="store_true")
@@ -474,7 +491,7 @@ def main(argv: list[str] | None = None) -> int:
             spark = _get_spark(a.verbose)
             return cmd_search(
                 spark, a.search, a.results, offset=a.offset,
-                show_snippets=a.snippets,
+                show_snippets=a.snippets, interactive=a.interactive,
             )
         p.print_help()
         return 1

@@ -167,6 +167,12 @@ class BlockedSearchEngine(BooleanEvaluator):
         )
         self._stats_cache: tuple[int, float] | None = None
         self._doclens_cache: DataFrame | None = None
+        # driver-side term-dictionary memo (hot-serving only): a built
+        # BlockedIndex is immutable, so a term's dictionary row never
+        # changes — memoizing it removes the per-query metadata job for
+        # repeated terms (tantivy keeps the .term FST memory-mapped for
+        # the same reason).  None sentinel = term absent from the index.
+        self._meta_memo: dict[str, dict | None] | None = {} if cache else None
         try:
             self.avgdl: float | None = index.avgdl  # manifest — no job
         except KeyError:
@@ -197,17 +203,35 @@ class BlockedSearchEngine(BooleanEvaluator):
 
     def _term_meta(self, terms: list[str]) -> dict[str, dict]:
         """term → {df, gmax, idf, n_blocks} from the term dictionary
-        (one tiny pruned scan)."""
-        rows = (
-            self._bucket_filter(self.tdict, terms)
-            .filter(F.col("term").isin(terms))
-            .collect()
-        )
-        return {r["term"]: r.asDict() for r in rows}
+        (one tiny pruned scan; memoized per term in hot-serving mode —
+        repeat-term queries then skip the metadata job entirely)."""
+        uniq = sorted(set(terms))
+        if self._meta_memo is None:
+            rows = (
+                self._bucket_filter(self.tdict, uniq)
+                .filter(F.col("term").isin(uniq))
+                .collect()
+            )
+            return {r["term"]: r.asDict() for r in rows}
+        missing = [t for t in uniq if t not in self._meta_memo]
+        if missing:
+            rows = (
+                self._bucket_filter(self.tdict, missing)
+                .filter(F.col("term").isin(missing))
+                .collect()
+            )
+            found = {r["term"]: r.asDict() for r in rows}
+            for t in missing:
+                self._meta_memo[t] = found.get(t)
+        return {
+            t: m for t in uniq if (m := self._meta_memo[t]) is not None
+        }
 
     def _doclens(self) -> DataFrame:
         if self._doclens_cache is None:
             self._doclens_cache = self.index.doclens(self.spark)
+            if self._meta_memo is not None:  # hot-serving mode
+                self._doclens_cache = self._doclens_cache.cache()
         return self._doclens_cache
 
     def _stats(self) -> tuple[int, float]:

@@ -244,3 +244,24 @@ def test_pruning_stats_invariants(spark, index):
     assert p["postings_survive"] <= d["postings_survive"]
     miss = eng.pruning_stats("zzzmissing", 10)
     assert miss["blocks_total"] == 0 and miss["blocks_survive"] == 0
+
+
+def test_term_meta_memo_hot_serving(spark, index, naive):
+    # cache=True memoizes term-dictionary rows driver-side: the second
+    # lookup must be served without touching Spark, absent terms must be
+    # negative-cached, and results must be identical to the cold path.
+    hot = BlockedSearchEngine(spark, index, cache=True)
+    cold = BlockedSearchEngine(spark, index)
+    terms = ["merge", "join", "zzzmissing"]
+    first = hot._term_meta(terms)
+    assert first == cold._term_meta(terms)
+    assert hot._meta_memo["zzzmissing"] is None  # negative cache
+    # poison the DataFrame path: a second call must not re-scan
+    hot.tdict = None
+    assert hot._term_meta(terms) == first
+    assert hot._term_meta(["merge"]) == cold._term_meta(["merge"])
+    # end-to-end: repeated hot query still rank-identical to naive
+    got = [(r["rank"], r["doc_id"]) for r in hot.search("merge join", 10).collect()]
+    hot.search("merge join", 10).collect()
+    want = [(r["rank"], r["doc_id"]) for r in naive.search("merge join", 10).collect()]
+    assert got == want
