@@ -276,16 +276,29 @@ class IvfAnnIndex:
     def _nearest_cell(vec_col, centroids: np.ndarray):
         """argmax-by-cosine over literal centroids as pure column math
         (ties → lowest cell id).  Centroids are L2-normalized first so
-        cosine reduces to one dot product per cell."""
+        cosine reduces to one dot product per cell.
+
+        Shape matters: one flat array of the n_cells dot products +
+        array_position(·, array_max(·)) — expression size O(cells·dim).
+        The earlier fold (when(better, …).otherwise(prev)) embedded the
+        running best TWICE per step, i.e. an exponentially-sized tree:
+        at 16 cells Catalyst analysis alone ran for minutes (caught by
+        tools/ivf_bench.py hanging; the parity tests used fewer cells
+        and never tripped it)."""
         normed = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-        best_cos, best_cell = F.lit(float("-inf")), F.lit(-1)
-        for ci in range(normed.shape[0]):
-            c = F.array(*[F.lit(float(x)) for x in normed[ci]])
-            cos = _dot(vec_col, c)
-            better = cos > best_cos
-            best_cell = F.when(better, F.lit(ci)).otherwise(best_cell)
-            best_cos = F.when(better, cos).otherwise(best_cos)
-        return best_cell
+        cos_arr = F.array(
+            *[
+                _dot(vec_col, F.array(*[F.lit(float(x)) for x in normed[ci]]))
+                for ci in range(normed.shape[0])
+            ]
+        )
+        # array_position finds the FIRST occurrence (1-based) of the
+        # max — the max is an element of the same array, so the double
+        # equality is exact, and ties resolve to the lowest cell id
+        # (np.argmax's rule — the vectorized twin matches)
+        return (
+            F.array_position(cos_arr, F.array_max(cos_arr)) - F.lit(1)
+        ).cast("int")
 
     @staticmethod
     def _nearest_cell_vectorized(vec_col, centroids: np.ndarray):

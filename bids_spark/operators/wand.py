@@ -276,19 +276,63 @@ class BlockedSearchEngine(BooleanEvaluator):
 
     # -- scoring fast paths ---------------------------------------------------
 
+    # Max blocks decoded per term by the θ probe (64 × 128-posting
+    # blocks = ≤8,192 postings/term) — keeps the probe O(terms·k)-ish
+    # even when a wide-range block drags the overlap filter open.
+    PROBE_BLOCK_BUDGET = 64
+
     def _probe_theta(self, tb: DataFrame, k: int) -> float:
-        """θ by probing: decode only the highest-impact blocks per term
-        (covering ≥k postings each), sum per doc — each per-doc partial
-        sum is a valid lower bound on that doc's total, so the k-th best
-        across DISTINCT docs lower-bounds the k-th best total.  Costs
-        one extra Spark job; tighter than the dictionary θ when top docs
-        match several query terms."""
+        """θ by probing: decode the highest-impact blocks per term
+        (covering ≥k postings each) PLUS every query-term block whose
+        doc range overlaps one of those probe blocks, sum per doc —
+        each per-doc partial sum is a valid lower bound on that doc's
+        total, so the k-th best across DISTINCT docs lower-bounds the
+        k-th best total.  The range alignment matters for multi-term
+        queries: without it, each term's top blocks can cover disjoint
+        doc ranges and the per-doc sums never see a multi-term doc, so
+        θ collapses to the best SINGLE-term score (measured: 0.49 vs
+        the true ~0.99 k-th total for `merge join` at 3M docs,
+        BENCH/PLANS.md pruning table).  Costs one tiny metadata collect
+        (≤ |terms|·⌈k/block⌉ rows) + one decode job over
+        ≤ |probe blocks|·|terms| blocks."""
         w = Window.partitionBy("term").orderBy(
             F.desc("block_max_score"), F.asc("first_doc")
         )
-        probe = (
+        seed_meta = (
             tb.withColumn("cum_n", F.sum("n").over(w))
             .filter(F.col("cum_n") - F.col("n") < k)
+            .select("first_doc", "max_doc")
+            .collect()
+        )
+        if not seed_meta:
+            return 0.0
+        # merge the seed doc ranges driver-side (tiny), then decode all
+        # query-term blocks overlapping any of them — per-doc sums then
+        # include every term's contribution over the probed ranges
+        spans = sorted((r["first_doc"], r["max_doc"]) for r in seed_meta)
+        merged: list[tuple[int, int]] = [spans[0]]
+        for lo, hi in spans[1:]:
+            if lo <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+            else:
+                merged.append((lo, hi))
+        overlap = None
+        for lo, hi in merged:
+            cond = (F.col("first_doc") <= F.lit(hi)) & (
+                F.col("max_doc") >= F.lit(lo)
+            )
+            overlap = cond if overlap is None else (overlap | cond)
+        # bound the decode: a RARE term's single block can span the
+        # whole doc space, making the overlap filter select every block
+        # of every term — cap blocks per term (highest-impact first; θ
+        # stays a valid lower bound whichever blocks are decoded)
+        w_cap = Window.partitionBy("term").orderBy(
+            F.desc("block_max_score"), F.asc("first_doc")
+        )
+        probe = (
+            tb.filter(overlap)
+            .withColumn("_rn", F.row_number().over(w_cap))
+            .filter(F.col("_rn") <= self.PROBE_BLOCK_BUDGET)
             .select("term", "first_doc", "payload", "idf")
         )
         probe_topk = (
@@ -368,14 +412,24 @@ class BlockedSearchEngine(BooleanEvaluator):
     # the budget the restriction is skipped: the matched-count filter
     # alone is still exact, we only lose a pruning heuristic.
     RANGE_BROADCAST_BUDGET = 65536
+    # The range restriction is a broadcast NESTED-LOOP join: its cost
+    # is |ranges| × |candidate blocks| predicate evaluations.  Bounding
+    # only the broadcast side lets two mid-frequency terms multiply
+    # into O(10^8+) comparisons that outweigh the decode they save
+    # (measured: q_and 5.5–9.9 s at 3M docs where plain decode+filter
+    # is ~2 s) — so the PRODUCT is budgeted too.
+    RANGE_JOIN_PRODUCT_BUDGET = 1 << 26
 
     def _topk_bool(self, must: list[str], should: list[str],
                    must_not: list[str], k: int) -> DataFrame:
         must_set = sorted(set(must))
         rarest_ranges = None
         if must:
-            meta = self._term_meta(must_set)
-            if len(meta) < len(must_set):
+            # one scan fetches meta for every query term: the must
+            # checks need must_set, the product budget needs them all
+            all_terms = sorted(set(must) | set(should) | set(must_not))
+            meta = self._term_meta(all_terms)
+            if len([t for t in must_set if t in meta]) < len(must_set):
                 # a must term with zero postings → the intersection is
                 # empty (Lucene semantics); skip all decode work
                 return self._empty()
@@ -388,7 +442,14 @@ class BlockedSearchEngine(BooleanEvaluator):
             # term blocks [a,b] with a≤d≤b → the intervals overlap at d,
             # so no contributing block is pruned: scores are exact.
             rarest = min(must_set, key=lambda t: meta[t]["df"])
-            if int(meta[rarest].get("n_blocks") or 0) <= self.RANGE_BROADCAST_BUDGET:
+            n_rarest = int(meta[rarest].get("n_blocks") or 0)
+            n_total = sum(
+                int(m.get("n_blocks") or 0) for m in meta.values()
+            )
+            if (
+                n_rarest <= self.RANGE_BROADCAST_BUDGET
+                and n_rarest * n_total <= self.RANGE_JOIN_PRODUCT_BUDGET
+            ):
                 rarest_ranges = F.broadcast(
                     self._term_blocks([rarest])
                     .select(

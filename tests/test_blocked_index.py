@@ -265,3 +265,49 @@ def test_term_meta_memo_hot_serving(spark, index, naive):
     hot.search("merge join", 10).collect()
     want = [(r["rank"], r["doc_id"]) for r in naive.search("merge join", 10).collect()]
     assert got == want
+
+
+def test_probe_theta_sees_multi_term_docs(spark, tmp_path):
+    # Every doc holds BOTH terms, so the true k-th best total is the
+    # SUM of two per-term scores.  The range-aligned probe must find
+    # it: θ_probe > any single term's global max score (the value the
+    # old per-term-independent probe collapsed to when the terms' top
+    # blocks covered disjoint doc ranges).
+    rows = [
+        (i, "alpha beta " * (1 + i % 5) + f"filler{i} " * (i % 7))
+        for i in range(600)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bi = BlockedIndex(str(tmp_path / "probe_idx"))
+    bi.build(docs, fingerprint="probe-theta", n_partitions=8)
+    eng = BlockedSearchEngine(spark, bi)
+    stats = eng.pruning_stats("alpha beta", 10, theta_mode="probe")
+    meta = eng._term_meta(["alpha", "beta"])
+    max_single = max(float(m["gmax"]) for m in meta.values())
+    assert stats["theta"] > max_single
+    # probe mode stays rank-identical to dict mode (exactness)
+    a = [(r["rank"], r["doc_id"]) for r in
+         eng.search("alpha beta", 10, theta_mode="dict").collect()]
+    b = [(r["rank"], r["doc_id"]) for r in
+         eng.search("alpha beta", 10, theta_mode="probe").collect()]
+    assert a == b
+
+
+def test_and_path_product_budget_guard(spark, index, naive):
+    """The range restriction is a broadcast nested-loop join costing
+    |ranges| x |blocks| predicate evaluations; when that PRODUCT
+    exceeds its budget the restriction must be skipped even though the
+    broadcast side alone fits — results stay rank-identical."""
+    q = "merge AND join"
+    eng = BlockedSearchEngine(spark, index)
+    want = [(r["rank"], r["doc_id"]) for r in eng.search(q, 10).collect()]
+
+    guarded = BlockedSearchEngine(spark, index)
+    guarded.RANGE_JOIN_PRODUCT_BUDGET = 0  # any product is "too big"
+    res = guarded.search(q, 10)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    got = [(r["rank"], r["doc_id"]) for r in res.collect()]
+    assert got == want
+    ref = [(r["rank"], r["doc_id"]) for r in naive.search(q, 10).collect()]
+    assert got == ref
