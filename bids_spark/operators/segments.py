@@ -130,7 +130,12 @@ class SegmentedIndex:
         # names compacted AWAY — kept so an exactly-once writer
         # replaying an already-merged named segment (streaming
         # micro-batch retry after a compaction) no-ops instead of
-        # re-appending docs the merged segment already contains
+        # re-appending docs the merged segment already contains.
+        # The list grows with compacted-away segment names (bytes per
+        # name, metadata only); it cannot be pruned without a horizon
+        # on how late a replay may arrive — in the streaming setup that
+        # horizon is the checkpoint's replay depth, so a deployment
+        # that trims it must coordinate with checkpoint retention.
         c.setdefault("retired", [])
         return c
 
