@@ -369,15 +369,18 @@ def cmd_search(
             continue
         seen.add(key)
         rows.append(r)
-        if not interactive and len(rows) >= offset + limit:
+        if len(rows) >= offset + limit:
             break
     if interactive:
-        # interactive mode pages the whole collected (deduped) top-k,
-        # exactly like the reference TUI pages its collected list
-        # (ui/results.py:188-215); --offset is a non-interactive affair
+        # interactive mode pages exactly the top-`limit` deduped results,
+        # like the reference, which truncates to limit BEFORE the TUI
+        # pages the collected list (index.py:179-181, ui/results.py:188-215)
         from bids_spark.ui import rows_from_search, run_pager
 
-        return run_pager(rows_from_search(rows, show_snippets))
+        if offset:
+            print("--offset is ignored with --interactive (the pager "
+                  "starts at page 1)", file=sys.stderr)
+        return run_pager(rows_from_search(rows[:limit], show_snippets))
     rows = rows[offset:]
     if not rows:
         print("No results found")
@@ -458,7 +461,8 @@ def main(argv: list[str] | None = None) -> int:
         "--interactive", action="store_true",
         help="with --search: page results interactively (reference TUI "
              "controls: n/p/f/l, g N, NUMBER to view a doc, /TERM + m/M "
-             "for in-document match navigation, q to quit)",
+             "for in-document match navigation, q to quit); --offset is "
+             "ignored in this mode — the pager always starts at page 1",
     )
     p.add_argument("--export", metavar="ZIP")
     p.add_argument("--import", dest="import_", metavar="ZIP")

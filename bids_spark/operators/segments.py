@@ -557,6 +557,10 @@ class SegmentedSearchEngine(BlockedSearchEngine):
         self._stats_cache = (self.n_docs, self.avgdl)
         self._doclens_cache = None
         self._meta_cache: dict[tuple, dict] = {}
+        # parent-contract attribute: _term_meta/_doclens are overridden
+        # here, but any parent method touching the hot-serving memo must
+        # find it initialised (BlockedSearchEngine.__init__ is not called)
+        self._meta_memo: dict[str, dict | None] | None = {} if cache else None
         if cache:
             self._seg_blocks = [b.cache() for b in self._seg_blocks]
             self._seg_tdicts = [t.cache() for t in self._seg_tdicts]

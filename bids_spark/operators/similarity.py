@@ -441,9 +441,19 @@ def embedding_neardup_pairs(
         )
         .distinct()
     )
-    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
-    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    # norms precomputed once per vector (not per candidate pair), same
+    # as the exact twin above: the verify stage does one dot product
+    a = emb.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("ea"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("eb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")

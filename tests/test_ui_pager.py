@@ -117,3 +117,18 @@ def test_cli_interactive_end_to_end(tmp_path, spark):
     assert "Page 1 of" in r.stdout
     assert "Match 1 of" in r.stdout
     assert "Score: " in r.stdout
+    # interactive pages exactly the top-`limit` deduped results — the
+    # reference truncates to limit BEFORE the TUI pages the collected
+    # list (index.py:179-181), so --results 3 shows one page of 3
+    r3 = subprocess.run(
+        [sys.executable, "-m", "bids_spark.cli",
+         "--search", "data", "--results", "3", "--interactive",
+         "--offset", "5"],
+        input="q\n", capture_output=True, text=True, env=env, cwd=REPO,
+    )
+    assert r3.returncode == 0, r3.stderr
+    assert "Page 1 of 1" in r3.stdout
+    assert len([ln for ln in r3.stdout.splitlines()
+                if ln.lstrip().startswith(("1.", "2.", "3.", "4."))
+                and "Score:" in ln]) == 3
+    assert "--offset is ignored with --interactive" in r3.stderr
