@@ -441,6 +441,11 @@ class BlockedIndex:
                     F.count("*").alias("n_blocks"),
                     F.sum("n").alias("postings"),
                     F.sum(F.length("payload")).alias("bytes"),
+                    # doc-id domain: fixes the chunk grid the query-time
+                    # range-aligned block bounds use (wand.py) without a
+                    # metadata scan per serving process
+                    F.min("first_doc").alias("doc_lo"),
+                    F.max("max_doc").alias("doc_hi"),
                 )
                 .first()
             )
@@ -459,6 +464,8 @@ class BlockedIndex:
                 with_positions=with_positions,
                 score_mode=score_mode,
                 avgdl=avgdl,
+                doc_lo=(None if m["doc_lo"] is None else int(m["doc_lo"])),
+                doc_hi=(None if m["doc_hi"] is None else int(m["doc_hi"])),
                 docs_per_sec=n_docs / max(build_total, 1e-9),
                 postings_per_sec=n_postings / max(build_total, 1e-9),
                 bytes_per_posting=comp_bytes / max(n_postings, 1),
@@ -522,6 +529,16 @@ class BlockedIndex:
         if "avgdl" in st:
             return float(st["avgdl"])
         raise KeyError("manifest has no avgdl (pre-fmt3 index)")
+
+    @property
+    def doc_domain(self) -> tuple[int, int]:
+        """[min first_doc, max max_doc] over all blocks, recorded at
+        build — no Spark job.  KeyError on indexes built before the
+        field existed (the engine falls back to a metadata agg)."""
+        st = self._manifest()["stages"].get("blocks", {})
+        if st.get("doc_lo") is None or st.get("doc_hi") is None:
+            raise KeyError("manifest has no doc domain (older index)")
+        return int(st["doc_lo"]), int(st["doc_hi"])
 
     def stats(self, spark: SparkSession) -> tuple[int, float]:
         r = self.io.read(spark, "stats").first()

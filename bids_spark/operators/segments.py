@@ -41,6 +41,7 @@ semantics).  The streaming module's landing-dir ingest feeds
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,6 +58,13 @@ from bids_spark.operators.wand import BlockedSearchEngine
 # few extra survivor blocks, never correctness.
 _UP = 1.0 + 2e-15
 _DOWN = 1.0 - 2e-15
+
+# the streaming writer's monotonic segment-name scheme
+# (streaming/incremental.py names micro-batch segments
+# seg-batch-{batch_id:06d}) — the only unbounded producer of retired
+# names, and therefore the only scheme the retired-list trim horizon
+# is defined for
+_BATCH_SEG = re.compile(r"^seg-batch-(\d+)$")
 
 
 class SegmentedIndex:
@@ -135,8 +143,13 @@ class SegmentedIndex:
         # name, metadata only); it cannot be pruned without a horizon
         # on how late a replay may arrive — in the streaming setup that
         # horizon is the checkpoint's replay depth, so a deployment
-        # that trims it must coordinate with checkpoint retention.
+        # that trims it must coordinate with checkpoint retention —
+        # compact(retain_retired=...) is that knob: it trims the oldest
+        # seg-batch-* names and records the highest trimmed batch id
+        # here, below which a replayed append is REJECTED loudly
+        # (a no-op can no longer be proven safe once the name is gone).
         c.setdefault("retired", [])
+        c.setdefault("retired_batch_floor", -1)
         return c
 
     def _write_commit(
@@ -144,6 +157,7 @@ class SegmentedIndex:
         segments: list[str],
         tombstones: list[str],
         retired: list[str] | None = None,
+        retired_batch_floor: int = -1,
     ) -> None:
         """Atomic single commit point (rename or conditional put,
         backend-dependent)."""
@@ -152,6 +166,7 @@ class SegmentedIndex:
                 "segments": sorted(segments),
                 "tombstones": sorted(tombstones),
                 "retired": sorted(retired or []),
+                "retired_batch_floor": retired_batch_floor,
             }
         )
 
@@ -168,7 +183,8 @@ class SegmentedIndex:
                 if d.startswith("seg-")
                 and BlockedIndex(os.path.join(self.root, d)).is_servable()
             )
-        return {"segments": names, "tombstones": [], "retired": []}
+        return {"segments": names, "tombstones": [], "retired": [],
+                "retired_batch_floor": -1}
 
     def segment_paths(self) -> list[str]:
         return [
@@ -179,6 +195,24 @@ class SegmentedIndex:
 
     def segments(self) -> list[BlockedIndex]:
         return [BlockedIndex(p) for p in self.segment_paths()]
+
+    def _reject_below_horizon(self, name: str, commit: dict) -> None:
+        """Loudly reject a batch-named append at or below the trimmed
+        retired horizon: once compact(retain_retired=...) drops a
+        name, a replay of it can no longer be distinguished from a new
+        append — silently re-appending would double-count the merged
+        docs, so this must be an error, never a guess."""
+        floor = int(commit.get("retired_batch_floor", -1))
+        m = _BATCH_SEG.match(name)
+        if m and int(m.group(1)) <= floor:
+            raise ValueError(
+                f"segment name {name!r} is at or below the retired-name "
+                f"horizon (retired_batch_floor={floor}): compaction "
+                "trimmed its exactly-once record, so this replay cannot "
+                "be proven already-applied. Raise retain_retired to cover "
+                "the streaming checkpoint's replay depth, or clear the "
+                "checkpoint before re-running."
+            )
 
     def add_segment(
         self,
@@ -207,6 +241,8 @@ class SegmentedIndex:
             # double-count, and for a retired name the directory was
             # renamed away, so a rebuild would also waste a full build
             return BlockedIndex(os.path.join(self.root, name))
+        if name is not None:
+            self._reject_below_horizon(name, c)
         if name is None:
             # collision-free default: count-based start, but never reuse
             # an EXISTING directory (a crashed build may have left a
@@ -242,6 +278,7 @@ class SegmentedIndex:
                 # segments, then add the new one
                 cur = self._committed()
                 cur["segments"] = [n for n in cur["segments"] if n != name]
+            floor = int(cur.get("retired_batch_floor", -1))
             if name in set(cur.get("retired", [])):
                 # a compaction retired this name between our build and
                 # this commit (CAS retry path): its docs are already in
@@ -250,12 +287,17 @@ class SegmentedIndex:
                     "segments": sorted(cur.get("segments", [])),
                     "tombstones": sorted(cur.get("tombstones", [])),
                     "retired": sorted(cur.get("retired", [])),
+                    "retired_batch_floor": floor,
                 }
+            # CAS-race twin of the entry check: a compaction may have
+            # trimmed past this name while the build ran
+            self._reject_below_horizon(name, cur)
             segs = set(cur.get("segments", [])) | {name}
             return {
                 "segments": sorted(segs),
                 "tombstones": sorted(cur.get("tombstones", [])),
                 "retired": sorted(cur.get("retired", [])),
+                "retired_batch_floor": floor,
             }
 
         self.log.update(_append)
@@ -331,6 +373,9 @@ class SegmentedIndex:
                 "segments": sorted(cur.get("segments", [])),
                 "tombstones": sorted(set(cur.get("tombstones", [])) | {name}),
                 "retired": sorted(cur.get("retired", [])),
+                "retired_batch_floor": int(
+                    cur.get("retired_batch_floor", -1)
+                ),
             }
 
         self.log.update(_add_tomb)
@@ -365,6 +410,7 @@ class SegmentedIndex:
         n_partitions: int | None = None,
         n_buckets: int = 8,
         replace: bool = True,
+        retain_retired: int | None = None,
     ) -> BlockedIndex:
         """Merge all segments into one (tantivy's background segment
         merge, SURVEY §2 C5) WITHOUT re-tokenizing: the new segment's
@@ -381,14 +427,26 @@ class SegmentedIndex:
         replace=True atomically commits the merged segment as the only
         visible one (then renames sources to old-*, kept on disk);
         replace=False builds the merged segment WITHOUT committing it —
-        readers keep serving the sources."""
+        readers keep serving the sources.
+
+        retain_retired: optional horizon on the exactly-once `retired`
+        list, which otherwise grows forever under streaming compaction
+        cycles (one name per merged-away segment).  Keeps only the
+        newest N seg-batch-* names and records the highest trimmed
+        batch id as `retired_batch_floor`; replays INSIDE the kept
+        window still no-op, replays at or below the floor are rejected
+        loudly (see _reject_below_horizon).  Size it to AT LEAST the
+        streaming checkpoint's replay depth (a restart can only replay
+        batches the checkpoint still holds); non-batch names are never
+        trimmed."""
         # establish the commit file first (no-op if present): the
         # under-construction merged dir must never become visible via
         # the legacy directory-listing fallback
         pre = self._committed()
         if self._read_commit() is None:
             self._write_commit(
-                pre["segments"], pre["tombstones"], pre.get("retired", [])
+                pre["segments"], pre["tombstones"], pre.get("retired", []),
+                int(pre.get("retired_batch_floor", -1)),
             )
         seg_paths = self.segment_paths()
         # a single segment is compactable when tombstones need purging
@@ -488,14 +546,30 @@ class SegmentedIndex:
                 remaining = [
                     t for t in cur.get("tombstones", []) if t not in purged
                 ]
+                retired = set(cur.get("retired", [])) | src
+                floor = int(cur.get("retired_batch_floor", -1))
+                if retain_retired is not None:
+                    batch = sorted(
+                        (int(m.group(1)), n)
+                        for n in retired
+                        if (m := _BATCH_SEG.match(n))
+                    )
+                    drop = (
+                        batch[: -retain_retired]
+                        if retain_retired > 0
+                        else batch
+                    )
+                    if drop:
+                        floor = max(floor, drop[-1][0])
+                        retired -= {n for _, n in drop}
                 return {
                     "segments": sorted(live),
                     "tombstones": sorted(remaining),
                     # merged-away names stay on record so a replayed
                     # exactly-once append of one of them no-ops
-                    "retired": sorted(
-                        set(cur.get("retired", [])) | src
-                    ),
+                    # (trimmed per retain_retired, floor recorded)
+                    "retired": sorted(retired),
+                    "retired_batch_floor": floor,
                 }
 
             self.log.update(_swap)
@@ -561,6 +635,11 @@ class SegmentedSearchEngine(BlockedSearchEngine):
         # here, but any parent method touching the hot-serving memo must
         # find it initialised (BlockedSearchEngine.__init__ is not called)
         self._meta_memo: dict[str, dict | None] | None = {} if cache else None
+        # aligned-bound state (wand.py): cm arrays are safe to memoize
+        # here too — a term's rescaled block bounds depend only on its
+        # own global idf and the fixed segment set
+        self._cm_memo = {} if cache else None
+        self._domain_cache: tuple[int, int] | None = None
         if cache:
             self._seg_blocks = [b.cache() for b in self._seg_blocks]
             self._seg_tdicts = [t.cache() for t in self._seg_tdicts]
@@ -685,6 +764,31 @@ class SegmentedSearchEngine(BlockedSearchEngine):
         return out
 
     # -- overridden plumbing ---------------------------------------------------
+
+    def _doc_domain(self) -> tuple[int, int]:
+        """Union of the per-segment doc domains (each from its build
+        manifest — no job); metadata-agg fallback when any segment
+        predates the manifest field."""
+        if self._domain_cache is None:
+            try:
+                doms = [s.doc_domain for s in self.segs]
+                self._domain_cache = (
+                    min(d[0] for d in doms), max(d[1] for d in doms)
+                )
+            except KeyError:
+                u = self._seg_blocks[0].select("first_doc", "max_doc")
+                for b in self._seg_blocks[1:]:
+                    u = u.unionByName(b.select("first_doc", "max_doc"))
+                r = u.agg(
+                    F.min("first_doc").alias("lo"),
+                    F.max("max_doc").alias("hi"),
+                ).first()
+                self._domain_cache = (
+                    (int(r["lo"]), int(r["hi"]))
+                    if r["lo"] is not None
+                    else (0, 0)
+                )
+        return self._domain_cache
 
     def _has_deletes(self) -> bool:
         return self._tomb is not None

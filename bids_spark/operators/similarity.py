@@ -72,13 +72,49 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
+# Above this many bits×dim literal nodes the column-math signature
+# (one per-element literal per hyperplane coefficient) becomes a
+# Catalyst plan-size hazard — the same expression-size class as the
+# IVF when-chain bug (IvfAnnIndex._nearest_cell docstring).  32 bits
+# at the fixture's dim 64 stays column math; transformer dims
+# (768–4096) dispatch to one Arrow-batched matmul per batch.
+VECTORIZE_SIG_NODES_ABOVE = 4096
+
+
+def _lsh_signatures_vectorized(
+    emb: DataFrame, planes: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """Signature via one (batch × dim) @ (dim × bits) matrix multiply
+    per Arrow batch; sign-bit rule (strict > 0) and bit packing match
+    the column path (parity-tested at low dim).  The plane matrix
+    ships in the closure — bits × dim float64, ~1 MB at 32 × 4096."""
+    bits = planes.shape[0]
+    weights = (1 << np.arange(bits, dtype=np.int64))
+    pt = np.ascontiguousarray(planes.T)
+
+    @F.pandas_udf("long")
+    def sig(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        return pd.Series(((m @ pt) > 0) @ weights)
+
+    return emb.select(
+        F.col(id_col).alias("vec_id"), sig(F.col(vec_col)).alias("sig")
+    )
+
+
 def lsh_signatures(
     emb: DataFrame, dim: int, bits: int = 32, seed: int = 42,
     id_col="vec_id", vec_col="embedding",
 ) -> DataFrame:
-    """(vec_id, sig bigint) — sign bits vs seeded random hyperplanes,
-    computed as column math (one dot product per bit, JVM-side)."""
+    """(vec_id, sig bigint) — sign bits vs seeded random hyperplanes:
+    column math (one dot product per bit, JVM-side) while the literal
+    count stays small, Arrow-batched matmul above
+    VECTORIZE_SIG_NODES_ABOVE (transformer dims)."""
     planes = _hyperplanes(dim, bits, seed)
+    if bits * dim > VECTORIZE_SIG_NODES_ABOVE:
+        return _lsh_signatures_vectorized(emb, planes, id_col, vec_col)
     sig = F.lit(0).cast("long")
     for i in range(bits):
         plane = F.array(*[F.lit(float(x)) for x in planes[i]])

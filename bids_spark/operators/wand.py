@@ -16,17 +16,45 @@ state doesn't distribute.  This is the exact distributed reformulation
            the highest-`block_max_score` blocks per term (enough to
            cover ≥k postings) and take the k-th best partial score.
   Phase 3  prune: drop block b of term t iff
-               block_max_score(b) + Σ_{t'≠t} gmax(t')  <  θ .
+               block_max_score(b) + OTH(t, b)  <  θ ,
+           where OTH(t, b) upper-bounds Σ_{t'≠t} s_{t'}(d) for every
+           doc d in b.  Two bounds are AND-ed, loosest first:
+             (loose)   OTH = Σ_{t'≠t} gmax(t')   — per-term global max,
+                       from the term dictionary, no extra work;
+             (aligned) OTH = max_{c ∈ chunks(b)} Σ_{t'≠t} cm(t', c),
+                       where the doc-id domain is cut into ≤
+                       OM_MAX_CHUNKS equal chunks and cm(t', c) is the
+                       max block_max_score of t' over blocks
+                       overlapping chunk c (tantivy BMW gets the same
+                       per-range alignment from its cursor seeks,
+                       reference bids/index.py:155).  cm is one
+                       metadata-only aggregation (explode of each
+                       block's chunk range is ≤ n_blocks + n_chunks
+                       rows per term, because a term's blocks are
+                       DISJOINT doc intervals), collected as tiny
+                       per-term dense arrays — O(terms × n_chunks)
+                       driver bytes, independent of corpus size — and
+                       applied as a pure column expression (literal
+                       array + slice/array_max), so candidate payloads
+                       are never shuffled or joined at any scale.
            EXACTNESS ARGUMENT: for any doc d appearing in a pruned
            block b of term t,
                total(d) = s_t(d) + Σ_{t'≠t} s_{t'}(d)
-                        ≤ bm(b)  + Σ_{t'≠t} gmax(t')  <  θ ≤ k-th best,
-           so d cannot be in the top-k; and every true top-k doc
-           appears in NO pruned block, hence its decoded score is
-           complete.  Partial scores of excluded docs are < θ and
-           cannot displace true top-k members.  Top-k is therefore
-           rank- and score-identical to full evaluation (property-
-           tested against the naive engine).
+                        ≤ bm(b)  + OTH(t, b)  <  θ ≤ k-th best
+           (for the aligned bound: d lies in some chunk c ∈ chunks(b),
+           and d's block in each t' overlaps c, so s_{t'}(d) ≤
+           cm(t', c) and the inner Σ is bounded at the SAME c before
+           the max), so d cannot be in the top-k; and every true
+           top-k doc appears in NO pruned block, hence its decoded
+           score is complete.  Partial scores of excluded docs are
+           < θ and cannot displace true top-k members.  Top-k is
+           therefore rank- and score-identical to full evaluation
+           (property-tested against the naive engine).  The aligned
+           bound is uniformly ≤ the loose one, strictly tighter when
+           term score distributions drift across doc ranges — on a
+           range-uniform corpus (e.g. the replicated bench fixture)
+           the two coincide and no sound bound can do better
+           (BENCH/PLANS.md round-3 analysis).
   Phase 4  decode surviving blocks (mapInPandas, numpy) →
            groupBy(doc_id).sum(score) → TakeOrderedAndProject.
 
@@ -173,6 +201,12 @@ class BlockedSearchEngine(BooleanEvaluator):
         # repeated terms (tantivy keeps the .term FST memory-mapped for
         # the same reason).  None sentinel = term absent from the index.
         self._meta_memo: dict[str, dict | None] | None = {} if cache else None
+        # per-term chunk-max arrays for the range-aligned bound: the
+        # chunk grid is fixed per engine (doc domain is index-static),
+        # so a term's cm array never changes — memoized like the
+        # dictionary rows in hot-serving mode
+        self._cm_memo: dict[str, np.ndarray] | None = {} if cache else None
+        self._domain_cache: tuple[int, int] | None = None
         try:
             self.avgdl: float | None = index.avgdl  # manifest — no job
         except KeyError:
@@ -274,6 +308,123 @@ class BlockedSearchEngine(BooleanEvaluator):
         take θ from a probe over tombstone-filtered decodes instead."""
         return False
 
+    # -- range-aligned other-term bounds (aligned BMW) -------------------------
+
+    # Chunk-grid cap: the cm job collects ≤ |terms| × OM_MAX_CHUNKS
+    # rows and the filter expression embeds one OM_MAX_CHUNKS-double
+    # literal array per term (~128 KB each in the task binary) — O(1)
+    # in corpus size.  Finer grids align the bound to finer vocabulary
+    # drift; 16384 chunks resolve per-host/topic drift far below the
+    # block count of any head term.
+    OM_MAX_CHUNKS = 16384
+    # Never cut chunks finer than ~half a typical 128-posting block
+    # span — below that the grid buys no extra tightness.
+    OM_MIN_CHUNK_DOCS = 64
+    # Blocks spanning more than this many chunks take the loose
+    # Σ gmax bound instead of an O(span) array slice — they are the
+    # rare wide-range blocks of low-df terms, cheap to decode anyway.
+    OM_SLICE_CAP = 1024
+    # Master switch for the aligned bound (A/B-able per call).
+    OM_ALIGNED = True
+    # Auto-engage threshold: the aligned bound exists to skip decode
+    # I/O, and costs one extra metadata collect per cold multi-term
+    # query — below this many candidate blocks (~512k postings) the
+    # scheduling round-trip outweighs anything it could save, so the
+    # default path (aligned=None) skips it.  Known driver-side from
+    # the dictionary rows (n_blocks), zero extra jobs to decide.
+    # Explicit aligned=True forces it regardless (tests, evidence).
+    OM_MIN_BLOCKS = 4096
+    # One-sided guard on the driver-side float sums inside the aligned
+    # bound, mirroring segments._UP: rounding must never push a bound
+    # BELOW the true real-number sum (over-pruning would break rank
+    # identity; overshooting by ~1e-12 relative only keeps an extra
+    # block in razor-thin ties).  Sized for queries of any realistic
+    # term count (error ≤ T·ulp per nonneg-sum of T terms).
+    _OM_UP = 1.0 + 1e-12
+
+    def _doc_domain(self) -> tuple[int, int]:
+        """[min first_doc, max max_doc] over all index blocks — from
+        the build manifest (no job); one-time metadata agg fallback for
+        indexes built before the field existed."""
+        if self._domain_cache is None:
+            try:
+                self._domain_cache = self.index.doc_domain
+            except KeyError:
+                r = self.blocks.agg(
+                    F.min("first_doc").alias("lo"),
+                    F.max("max_doc").alias("hi"),
+                ).first()
+                self._domain_cache = (
+                    (int(r["lo"]), int(r["hi"]))
+                    if r["lo"] is not None
+                    else (0, 0)
+                )
+        return self._domain_cache
+
+    def _chunk_grid(self) -> tuple[int, int, int]:
+        """(lo, chunk_width, n_chunks) — fixed per engine."""
+        lo, hi = self._doc_domain()
+        span = max(1, hi - lo + 1)
+        n = min(self.OM_MAX_CHUNKS, max(1, span // self.OM_MIN_CHUNK_DOCS))
+        width = -(-span // n)  # ceil
+        return lo, width, -(-span // width)
+
+    def _chunk_expr(self, col, lo: int, width: int):
+        # doc ids ≤ 2^53 stay exact through the double division
+        return F.floor((col - F.lit(lo)) / F.lit(width)).cast("int")
+
+    def _oth_arrays(self, tb: DataFrame, terms: list[str]) -> dict[str, list]:
+        """term → dense array A with A[c] ≥ Σ_{t'≠t} cm(t', c): the
+        per-chunk other-term score bound of the module docstring.
+
+        cm comes from ONE metadata-only aggregation over the query
+        terms' block stats (payload column pruned at the scan); the
+        disjoint-interval structure of a term's blocks bounds the
+        explode at n_blocks + n_chunks rows per term, so the job and
+        the driver arrays are O(metadata), never O(postings)."""
+        lo, width, n = self._chunk_grid()
+        missing = (
+            terms
+            if self._cm_memo is None
+            else [t for t in terms if t not in self._cm_memo]
+        )
+        built: dict[str, np.ndarray] = {}
+        if missing:
+            rows = (
+                tb.filter(F.col("term").isin(missing))
+                .select(
+                    "term",
+                    "block_max_score",
+                    F.explode(
+                        F.sequence(
+                            self._chunk_expr(F.col("first_doc"), lo, width),
+                            self._chunk_expr(F.col("max_doc"), lo, width),
+                        )
+                    ).alias("c"),
+                )
+                .groupBy("term", "c")
+                .agg(F.max("block_max_score").alias("m"))
+                .collect()
+            )
+            for t in missing:
+                built[t] = np.zeros(n)
+            for r in rows:
+                built[r["term"]][r["c"]] = r["m"]
+            if self._cm_memo is not None:
+                self._cm_memo.update(built)
+        cm = {
+            t: (built[t] if t in built else self._cm_memo[t]) for t in terms
+        }
+        # sum-of-OTHERS computed directly per term (never total − own:
+        # cancellation there can under-bound by ~eps·total absolute
+        # when one term dominates a chunk)
+        out: dict[str, list] = {}
+        for t in terms:
+            others = [a for t2, a in cm.items() if t2 != t]
+            oth = np.sum(others, axis=0) if others else np.zeros(n)
+            out[t] = (oth * self._OM_UP).tolist()
+        return out
+
     # -- scoring fast paths ---------------------------------------------------
 
     # Max blocks decoded per term by the θ probe (64 × 128-posting
@@ -346,11 +497,17 @@ class BlockedSearchEngine(BooleanEvaluator):
         return float(probe_topk[-1]["s"]) if len(probe_topk) >= k else 0.0
 
     def _or_pruned_survivors(
-        self, terms: list[str], k: int, theta_mode: str = "dict"
+        self,
+        terms: list[str],
+        k: int,
+        theta_mode: str = "dict",
+        aligned: bool | None = None,
     ) -> tuple[DataFrame, DataFrame, float] | None:
         """(candidate blocks, surviving blocks, θ) for a flat OR query —
         the shared core of _topk_or_pruned and pruning_stats.  None when
-        no query term exists in the index."""
+        no query term exists in the index.  `aligned` (default:
+        OM_ALIGNED) adds the range-aligned other-term bound on top of
+        the loose Σ gmax filter (module docstring Phase 3)."""
         tb = self._term_blocks(terms)
         meta = self._term_meta(terms)  # one pruned scan of tiny rows
         if not meta:
@@ -385,15 +542,55 @@ class BlockedSearchEngine(BooleanEvaluator):
                 [(t, float(g)) for t, g in gmax.items()], ["term", "gmax"]
             )
         )
-        survivors = tb.join(gmax_df, "term").filter(
-            F.col("block_max_score") + (F.lit(gsum) - F.col("gmax")) >= F.lit(theta)
+        pred = (
+            F.col("block_max_score") + (F.lit(gsum) - F.col("gmax"))
+            >= F.lit(theta)
         )
+        if aligned is None:
+            aligned = self.OM_ALIGNED and (
+                sum(int(m.get("n_blocks") or 0) for m in meta.values())
+                >= self.OM_MIN_BLOCKS
+            )
+        if aligned and theta > 0.0 and len(gmax) > 1:
+            # range-aligned bound: bm(b) + max_{c∈chunks(b)} OTH_t[c]
+            # ≥ θ, with OTH arrays embedded as per-term literal arrays
+            # (ONE Literal node each — never element-wise expression
+            # trees, and never a join that would copy a wide array
+            # onto every candidate block row)
+            oth = self._oth_arrays(tb, sorted(gmax))
+            lo, width, _n = self._chunk_grid()
+            c1 = self._chunk_expr(F.col("first_doc"), lo, width)
+            c2 = self._chunk_expr(F.col("max_doc"), lo, width)
+            length = c2 - c1 + F.lit(1)
+            om = None
+            for t, arr in oth.items():
+                rng = F.array_max(F.slice(F.lit(arr), c1 + F.lit(1), length))
+                om = (
+                    F.when(F.col("term") == t, rng)
+                    if om is None
+                    else om.when(F.col("term") == t, rng)
+                )
+            # unmatched terms (shouldn't occur: tb ⊆ dictionary terms)
+            # fall back to the always-sound loose bound
+            om = om.otherwise(F.lit(gsum))
+            # wide-range blocks (rare, low-df) skip the O(span) slice
+            # and keep the loose bound — dropping a tight bound is
+            # always sound
+            pred = pred & (
+                (length > F.lit(self.OM_SLICE_CAP))
+                | (F.col("block_max_score") + om >= F.lit(theta))
+            )
+        survivors = tb.join(gmax_df, "term").filter(pred)
         return tb, survivors, theta
 
     def _topk_or_pruned(
-        self, terms: list[str], k: int, theta_mode: str = "dict"
+        self,
+        terms: list[str],
+        k: int,
+        theta_mode: str = "dict",
+        aligned: bool | None = None,
     ) -> DataFrame:
-        parts = self._or_pruned_survivors(terms, k, theta_mode)
+        parts = self._or_pruned_survivors(terms, k, theta_mode, aligned)
         if parts is None:
             return self._empty()
         _tb, survivors, _theta = parts
@@ -494,7 +691,11 @@ class BlockedSearchEngine(BooleanEvaluator):
     # -- public ---------------------------------------------------------------
 
     def pruning_stats(
-        self, query: str, k: int = 10, theta_mode: str = "dict"
+        self,
+        query: str,
+        k: int = 10,
+        theta_mode: str = "dict",
+        aligned: bool | None = None,
     ) -> dict:
         """Block-max pruning evidence for a flat OR query: how many
         candidate blocks/postings the query terms own vs how many
@@ -513,10 +714,11 @@ class BlockedSearchEngine(BooleanEvaluator):
         ), "pruning_stats covers flat pure-OR queries (the θ-pruned path)"
         out = {
             "query": query, "k": k, "theta_mode": theta_mode,
+            "aligned": "auto" if aligned is None else aligned,
             "blocks_total": 0, "postings_total": 0,
             "blocks_survive": 0, "postings_survive": 0, "theta": 0.0,
         }
-        parts = self._or_pruned_survivors(terms, k, theta_mode)
+        parts = self._or_pruned_survivors(terms, k, theta_mode, aligned)
         if parts is None:
             return out
         tb, survivors, theta = parts

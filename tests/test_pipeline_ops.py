@@ -306,3 +306,37 @@ def test_ivf_cell_assignment_parity_and_vectorized_build(spark, emb, tmp_path):
     truth = [(r["rank"], r["vec_id"]) for r in sim.cosine_topk(emb, qv, 10).collect()]
     got = [(r["rank"], r["vec_id"]) for r in idx.topk(spark, qv, 10).collect()]
     assert got == truth
+
+
+def test_lsh_signature_vectorized_parity(emb):
+    """The Arrow-batched matmul signature must agree bit-for-bit with
+    the column-math signature at the fixture dim (where both paths
+    run), and the dispatch must route transformer dims to the matmul
+    path — the bits×dim literal expression is the same Catalyst
+    plan-size hazard class as the IVF when-chain bug."""
+    dim = len(emb.first()["embedding"])
+    planes = sim._hyperplanes(dim, 32, 42)
+    col = {
+        r["vec_id"]: r["sig"]
+        for r in sim.lsh_signatures(emb, dim, 32, 42).collect()
+    }
+    vec = {
+        r["vec_id"]: r["sig"]
+        for r in sim._lsh_signatures_vectorized(
+            emb, planes, "vec_id", "embedding"
+        ).collect()
+    }
+    assert col == vec and len(col) == emb.count()
+    # dispatch threshold: 32 bits × dim 768 must take the vectorized
+    # path — no per-coefficient literals in the plan
+    fat = emb.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(767)),
+            lambda i: F.element_at("embedding", i % dim + 1),
+        ).alias("embedding"),
+    )
+    plan = sim.lsh_signatures(
+        fat, 768, 32, 42
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "pythonUDF" in plan.lower()

@@ -346,3 +346,37 @@ def test_default_named_append_after_compact_is_committed(spark, docs, tmp_path):
     hits = [r["doc_id"]
             for r in si.engine(spark).search("ocelotword", 10).collect()]
     assert hits == [900001]
+
+
+def test_retired_trim_horizon(spark, docs, tmp_path):
+    """compact(retain_retired=N): replays INSIDE the kept window still
+    no-op; a replay at or below the recorded floor is rejected loudly
+    instead of silently double-appending (the round-3 unbounded
+    retired-list growth, now with a knob tied to checkpoint replay
+    depth)."""
+    import pytest as _pytest
+
+    si = SegmentedIndex(str(tmp_path / "trim"))
+    thirds = [docs.filter(docs.doc_id % 3 == i) for i in range(3)]
+    for i, part in enumerate(thirds):
+        si.add_segment(part, fingerprint=f"b{i}", name=f"seg-batch-{i:06d}",
+                       n_partitions=4, with_positions=False)
+    si.compact(spark, n_partitions=4, retain_retired=1)
+    c = si._read_commit()
+    assert c["retired"] == ["seg-batch-000002"]
+    assert c["retired_batch_floor"] == 1
+    n_segs = len(c["segments"])
+    # inside the window: exactly-once no-op, commit unchanged
+    si.add_segment(thirds[2], fingerprint="b2", name="seg-batch-000002",
+                   n_partitions=4, with_positions=False)
+    assert len(si._read_commit()["segments"]) == n_segs
+    # at/below the floor: loud rejection, nothing appended
+    with _pytest.raises(ValueError, match="retired-name horizon"):
+        si.add_segment(thirds[0], fingerprint="b0", name="seg-batch-000000",
+                       n_partitions=4, with_positions=False)
+    assert len(si._read_commit()["segments"]) == n_segs
+    # genuinely new batches keep flowing
+    si.add_segment(thirds[0].limit(5), fingerprint="b3",
+                   name="seg-batch-000003", n_partitions=4,
+                   with_positions=False)
+    assert len(si._read_commit()["segments"]) == n_segs + 1

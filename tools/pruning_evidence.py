@@ -2,19 +2,32 @@
 
 Small-corpus bench latencies are Spark-job-scheduling-bound, so they
 never demonstrate the BMW design actually pruning.  This script builds
-a large replicated corpus (default sf0.1 × 600 = 3M docs), then for
-each bench query records the DETERMINISTIC counters from
+a large corpus (default sf0.1 × 600 = 3M docs), then for each bench
+query records the DETERMINISTIC counters from
 `BlockedSearchEngine.pruning_stats`: candidate blocks/postings of the
 query's terms vs the blocks/postings that survive the θ filter (what
 actually gets decoded), for θ from the term dictionary ("dict") and
-from the probe ("probe").  Counts are noise-free — the right evidence
-on a machine whose wall-clock swings 3× (BENCH/BASELINE.md).
+from the probe ("probe"), each with the range-aligned other-term
+bound ON and OFF (wand.py Phase 3).  Counts are noise-free — the
+right evidence on a machine whose wall-clock swings 3×
+(BENCH/BASELINE.md).
+
+Two corpus shapes:
+  uniform — disjoint-range replication (round-1 fixture).  Score
+            distributions are identical across ranges BY CONSTRUCTION,
+            so no sound multi-term bound can prune there (round-3
+            analysis) — kept as the worst-case control.
+  drift   — sources.replicate.drifted_corpus: head terms global, an
+            injected topic vocabulary per contiguous doc-range band —
+            the structure real crawls have, where the aligned bound
+            can bite.
 
 Wall latencies (median of 3) for pruned/unpruned are reported too, but
 read them as indicative only.
 
 Usage:
-    python tools/pruning_evidence.py [sf_dir] [replicate] [workdir]
+    python tools/pruning_evidence.py [sf_dir] [replicate] [workdir] \
+        [uniform|drift]
 
 The index build is resumable (staged manifest): re-runs reuse it.
 """
@@ -32,7 +45,10 @@ sys.path.insert(0, REPO)
 from bids_spark.operators.blocked_index import BlockedIndex  # noqa: E402
 from bids_spark.operators.wand import BlockedSearchEngine  # noqa: E402
 from bids_spark.session import get_spark  # noqa: E402
-from bids_spark.sources.replicate import replicated_corpus  # noqa: E402
+from bids_spark.sources.replicate import (  # noqa: E402
+    drifted_corpus,
+    replicated_corpus,
+)
 
 QUERIES = [
     "data",
@@ -42,6 +58,15 @@ QUERIES = [
     "data merge join sort window",
 ]
 
+# drift-only additions: head+topic and topic+topic shapes (topic bands
+# exist only on the drifted corpus; band ids assume n_topics=16)
+DRIFT_QUERIES = [
+    "data t3x",
+    "the t3x",
+    "t1x t9y",
+    "data t2x t2y",
+]
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -49,17 +74,22 @@ def main() -> None:
     workdir = (
         sys.argv[3] if len(sys.argv) > 3 else "/tmp/pruning_evidence"
     )
+    shape = sys.argv[4] if len(sys.argv) > 4 else "uniform"
     spark = get_spark(app_name="pruning-evidence")
-    big = replicated_corpus(spark, sf_dir, replicate, workdir, files=64)
+    if shape == "drift":
+        big = drifted_corpus(spark, sf_dir, replicate, workdir, files=64)
+        queries = QUERIES + DRIFT_QUERIES
+        idx_dir = os.path.join(workdir, f"idx_drift_x{replicate}")
+        fp = f"prune-evidence-drift-{sf_dir}-x{replicate}"
+    else:
+        big = replicated_corpus(spark, sf_dir, replicate, workdir, files=64)
+        queries = QUERIES
+        idx_dir = os.path.join(workdir, f"idx_x{replicate}")
+        fp = f"prune-evidence-{sf_dir}-x{replicate}"
     n_docs = big.count()
-    idx_dir = os.path.join(workdir, f"idx_x{replicate}")
     bi = BlockedIndex(idx_dir)
     t0 = time.time()
-    bi.build(
-        big,
-        fingerprint=f"prune-evidence-{sf_dir}-x{replicate}",
-        with_positions=False,
-    )
+    bi.build(big, fingerprint=fp, with_positions=False)
     build_s = time.time() - t0
     eng = BlockedSearchEngine(spark, bi)
     eng.search("data", 10).collect()  # warm plans
@@ -72,26 +102,36 @@ def main() -> None:
             xs.append(time.time() - t)
         return round(sorted(xs)[n // 2], 3)
 
+    def counters(q, mode, aligned):
+        s = eng.pruning_stats(q, 10, mode, aligned=aligned)
+        return {
+            "theta": round(s["theta"], 4),
+            "blocks_survive": s["blocks_survive"],
+            "postings_survive": s["postings_survive"],
+        }, s
+
     rows = []
-    for q in QUERIES:
-        d = eng.pruning_stats(q, 10, "dict")
-        p = eng.pruning_stats(q, 10, "probe")
-        assert d["blocks_total"] == p["blocks_total"]
+    for q in queries:
+        d_on, d_full = counters(q, "dict", True)
+        d_off, _ = counters(q, "dict", False)
+        p_on, _ = counters(q, "probe", True)
+        p_off, _ = counters(q, "probe", False)
+        # exactness at corpus scale: the θ+aligned-pruned top-k must be
+        # rank- AND score-identical to the unpruned evaluation
+        key = lambda rs: [(r["doc_id"], round(r["score"], 9)) for r in rs]  # noqa: E731
+        assert key(eng.search(q, 10, theta_mode="dict").collect()) == key(
+            eng.search(q, 10, prune=False).collect()
+        ), f"pruned/unpruned rank divergence on {q!r}"
         rows.append(
             {
                 "query": q,
-                "blocks_total": d["blocks_total"],
-                "postings_total": d["postings_total"],
-                "dict": {
-                    "theta": round(d["theta"], 4),
-                    "blocks_survive": d["blocks_survive"],
-                    "postings_survive": d["postings_survive"],
-                },
-                "probe": {
-                    "theta": round(p["theta"], 4),
-                    "blocks_survive": p["blocks_survive"],
-                    "postings_survive": p["postings_survive"],
-                },
+                "rank_identical": True,
+                "blocks_total": d_full["blocks_total"],
+                "postings_total": d_full["postings_total"],
+                "dict": d_on,
+                "dict_loose": d_off,
+                "probe": p_on,
+                "probe_loose": p_off,
                 "latency_sec": {
                     "pruned_dict": lat(
                         lambda: eng.search(q, 10, theta_mode="dict").collect()
@@ -112,6 +152,7 @@ def main() -> None:
             {
                 "sf_dir": sf_dir,
                 "replicate": replicate,
+                "shape": shape,
                 "n_docs": n_docs,
                 "build_sec": round(build_s, 1),
                 "k": 10,
