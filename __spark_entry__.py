@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": C.q_bm25_phrase,
         # same queries on the blocked/compressed (scale) path — same oracles
         "bm25_or_blocked": C.q_bm25_or_blocked,
+        "bm25_or_aligned": C.q_bm25_or_aligned,
         "bm25_and_blocked": C.q_bm25_and_blocked,
         "bm25_phrase_blocked": C.q_bm25_phrase_blocked,
         "bm25_or_segmented": C.q_bm25_or_segmented,
@@ -100,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": C.bm25_topk_sql(should=["merge"], must_not=["join"]),
         "bm25_phrase": C.bm25_phrase_sql(["merge", "join"]),
         "bm25_or_blocked": C.bm25_topk_sql(should=["merge", "join"]),
+        "bm25_or_aligned": C.bm25_topk_sql(should=["merge", "join"]),
         "bm25_and_blocked": C.bm25_topk_sql(must=["merge", "join"]),
         "bm25_phrase_blocked": C.bm25_phrase_sql(["merge", "join"]),
         "bm25_or_segmented": C.bm25_topk_sql(should=["merge", "join"]),

@@ -252,11 +252,16 @@ def _blocked_index(spark: SparkSession, sf_dir: str):
 
 def _search_blocked(
     spark: SparkSession, sf_dir: str, query: str, k: int = 10,
-    theta_mode: str = "dict",
+    theta_mode: str = "dict", force_aligned: bool = False,
 ) -> DataFrame:
     from bids_spark.operators.wand import BlockedSearchEngine
 
     eng = BlockedSearchEngine(spark, _blocked_index(spark, sf_dir))
+    if force_aligned:
+        # the aligned bound auto-engages only above OM_MIN_BLOCKS —
+        # force it at oracle scale so the cm metadata job + literal-
+        # array filter sit under the DuckDB oracle every round
+        eng.OM_MIN_BLOCKS = 0
     return eng.search(query, k, theta_mode=theta_mode).select(
         F.col("rank").cast("long").alias("rank"),
         "doc_id",
@@ -266,6 +271,14 @@ def _search_blocked(
 
 def q_bm25_or_blocked(spark, sf_dir):
     return _search_blocked(spark, sf_dir, "merge join")
+
+
+def q_bm25_or_aligned(spark, sf_dir):
+    """Same OR query with the range-aligned other-term bound FORCED on
+    (wand.py Phase 3 "aligned"): the chunk-max metadata job and the
+    literal-array pruning filter must not change results.  Same oracle
+    as bm25_or."""
+    return _search_blocked(spark, sf_dir, "merge join", force_aligned=True)
 
 
 def q_bm25_or_probe(spark, sf_dir):

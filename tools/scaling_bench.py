@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from bids_spark.sources.replicate import replicated_corpus
 cpus = int(sys.argv[1]); sf_dir = sys.argv[2]; replicate = int(sys.argv[3]); corpus_dir = sys.argv[4]
+with_pos = os.environ.get("SCALING_WITH_POSITIONS", "0") == "1"
 spark = get_spark(app_name=f"scaling-{cpus}", cores=cpus, shuffle_partitions=cpus)
 base_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 big = replicated_corpus(spark, sf_dir, replicate, corpus_dir, files=64)
@@ -37,7 +38,8 @@ big.count()  # warm page cache / file listing identically at both levels
 work = tempfile.mkdtemp(prefix=f"scale{cpus}_")
 t0 = time.time()
 bi = BlockedIndex(os.path.join(work, "idx"))
-man = bi.build(big, fingerprint=f"scale-{cpus}", n_partitions=cpus)
+man = bi.build(big, fingerprint=f"scale-{cpus}", n_partitions=cpus,
+               with_positions=with_pos)
 build_s = time.time() - t0
 eng = BlockedSearchEngine(spark, bi, cache=True)
 eng.search("data", 10).collect()  # warm
@@ -51,7 +53,7 @@ for name, q in [("q_single","data"),("q_or2","merge join"),("q_and","merge AND j
 shutil.rmtree(work, ignore_errors=True)
 n_docs = base_n * replicate
 print("RESULT " + json.dumps({
-    "cpus": cpus, "build_sec": round(build_s, 3),
+    "cpus": cpus, "build_sec": round(build_s, 3), "with_positions": with_pos,
     "docs_per_sec": round(n_docs / build_s, 1),
     "postings_per_sec": round(man["stages"]["blocks"]["postings_per_sec"], 1),
     "query_median_sec": qs, "n_docs": n_docs}))
