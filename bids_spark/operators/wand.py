@@ -71,6 +71,7 @@ scores.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 
 import numpy as np
@@ -564,7 +565,15 @@ class BlockedSearchEngine(BooleanEvaluator):
             length = c2 - c1 + F.lit(1)
             om = None
             for t, arr in oth.items():
-                rng = F.array_max(F.slice(F.lit(arr), c1 + F.lit(1), length))
+                # ship each array as ONE json STRING literal and let
+                # ConstantFolding evaluate from_json into the array
+                # literal JVM-side: F.lit(list) crosses py4j element by
+                # element — measured 8 s per 16384-double literal, 40 s
+                # of pure driver time on a 5-term query (the round-4
+                # scaling draw caught it); the json form is ~0.1 s.
+                # json round-trips doubles exactly (shortest repr).
+                arr_col = F.from_json(F.lit(json.dumps(arr)), "array<double>")
+                rng = F.array_max(F.slice(arr_col, c1 + F.lit(1), length))
                 om = (
                     F.when(F.col("term") == t, rng)
                     if om is None
