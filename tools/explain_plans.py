@@ -59,6 +59,15 @@ def main() -> None:
             eng._topk_or_pruned(["merge", "join"], 10),
         ),
         (
+            "Range-ALIGNED pruned OR (round 4): survivors plan",
+            "Expect: identical scan shape (PartitionFilters + "
+            "In(term…)), ONE broadcast gmax join, the aligned filter "
+            "as constant-folded array literals — no extra scan, no "
+            "join of the cm arrays onto block rows, no payload "
+            "shuffle.",
+            eng._topk_or_pruned(["merge", "join"], 10, aligned=True),
+        ),
+        (
             "Naive postings build (C2): tokenize → explode → groupBy",
             "Expect: WholeStageCodegen around generate/aggregate, "
             "partial_count before the exchange (map-side combine).",
