@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or_blocked": C.q_bm25_or_blocked,
         "bm25_or_aligned": C.q_bm25_or_aligned,
         "bm25_and_blocked": C.q_bm25_and_blocked,
+        "bm25_and_prefilter": C.q_bm25_and_prefilter,
         "bm25_phrase_blocked": C.q_bm25_phrase_blocked,
         "bm25_or_segmented": C.q_bm25_or_segmented,
         "bm25_and_segmented": C.q_bm25_and_segmented,
@@ -103,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or_blocked": C.bm25_topk_sql(should=["merge", "join"]),
         "bm25_or_aligned": C.bm25_topk_sql(should=["merge", "join"]),
         "bm25_and_blocked": C.bm25_topk_sql(must=["merge", "join"]),
+        "bm25_and_prefilter": C.bm25_topk_sql(must=["merge", "join"]),
         "bm25_phrase_blocked": C.bm25_phrase_sql(["merge", "join"]),
         "bm25_or_segmented": C.bm25_topk_sql(should=["merge", "join"]),
         "bm25_and_segmented": C.bm25_topk_sql(must=["merge", "join"]),

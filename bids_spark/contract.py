@@ -281,6 +281,17 @@ def q_bm25_or_aligned(spark, sf_dir):
     return _search_blocked(spark, sf_dir, "merge join", force_aligned=True)
 
 
+def q_bm25_and_prefilter(spark, sf_dir):
+    """Same AND query with the intersection-bitmap restriction FORCED
+    on (wand.py _bool_restriction: and-reduced per-chunk presence of
+    the must terms prunes every term's blocks before decode).  Same
+    oracle as bm25_and: the bitmap + interval-join restriction must
+    not change results."""
+    return _search_blocked(
+        spark, sf_dir, "merge AND join", force_aligned=True
+    )
+
+
 def q_bm25_or_probe(spark, sf_dir):
     """Same OR query with theta_mode="probe": θ comes from decoding
     the top blocks per term instead of the dictionary constants — the

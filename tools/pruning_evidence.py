@@ -27,7 +27,7 @@ read them as indicative only.
 
 Usage:
     python tools/pruning_evidence.py [sf_dir] [replicate] [workdir] \
-        [uniform|drift]
+        [uniform|drift] [and_only]
 
 The index build is resumable (staged manifest): re-runs reuse it.
 """
@@ -65,6 +65,21 @@ DRIFT_QUERIES = [
     "the t3x",
     "t1x t9y",
     "data t2x t2y",
+]
+
+# AND-path restriction evidence (wand._bool_restriction: intersection
+# bitmap + rarest-term interval join).  Uniform control: head AND head
+# — every chunk holds both terms, the bitmap honestly prunes nothing.
+AND_QUERIES = [
+    "merge AND join",
+]
+# drift: rare-band AND head is the shape the bitmap exists for; two
+# disjoint bands must be PROVED empty from metadata (zero decode).
+DRIFT_AND_QUERIES = [
+    "the AND t3x",
+    "data AND t2x AND t2y",
+    "t1x AND t9y",
+    "+t3x the data",
 ]
 
 
@@ -110,8 +125,9 @@ def main() -> None:
             "postings_survive": s["postings_survive"],
         }, s
 
+    and_only = len(sys.argv) > 5 and sys.argv[5] == "and_only"
     rows = []
-    for q in queries:
+    for q in queries if not and_only else []:
         d_on, d_full = counters(q, "dict", True)
         d_off, _ = counters(q, "dict", False)
         p_on, _ = counters(q, "probe", True)
@@ -146,6 +162,29 @@ def main() -> None:
             }
         )
         print("ROW " + json.dumps(rows[-1]), flush=True)
+    # AND-path restriction counters: forced engine (bitmap always on)
+    # vs a bitmap-off engine — results must agree; counters show what
+    # the restriction removes before decode
+    and_rows = []
+    forced = BlockedSearchEngine(spark, bi)
+    forced.OM_MIN_BLOCKS = 0
+    off = BlockedSearchEngine(spark, bi)
+    off.OM_MIN_BLOCKS = 0
+    off.AND_BITMAP = False
+    and_qs = AND_QUERIES + (DRIFT_AND_QUERIES if shape == "drift" else [])
+    for q in and_qs:
+        s = forced.and_pruning_stats(q, 10)
+        key = lambda rs: [(r["doc_id"], round(r["score"], 9)) for r in rs]  # noqa: E731
+        assert key(forced.search(q, 10).collect()) == key(
+            off.search(q, 10).collect()
+        ), f"bitmap on/off rank divergence on {q!r}"
+        s["rank_identical"] = True
+        s["latency_sec"] = {
+            "restricted": lat(lambda: forced.search(q, 10).collect()),
+            "bitmap_off": lat(lambda: off.search(q, 10).collect()),
+        }
+        and_rows.append(s)
+        print("ANDROW " + json.dumps(s), flush=True)
     print(
         "RESULT "
         + json.dumps(
@@ -157,6 +196,7 @@ def main() -> None:
                 "build_sec": round(build_s, 1),
                 "k": 10,
                 "rows": rows,
+                "and_rows": and_rows,
             }
         )
     )
