@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": C.q_minhash_lsh,
         "simhash_neardup": C.q_simhash_neardup,
         "lsh_ann_topk": C.q_lsh_ann_topk,
+        "lsh_ann_indexed": C.q_lsh_ann_indexed,
         "ivf_ann_topk": C.q_ivf_ann_topk,
         "embedding_neardup": C.q_embedding_neardup,
         "embedding_neardup_exact": C.q_embedding_neardup_exact,

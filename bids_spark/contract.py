@@ -725,6 +725,29 @@ def q_lsh_ann_topk(spark, sf_dir):
     return sim.lsh_ann_topk(emb, qv, 10)
 
 
+def q_lsh_ann_indexed(spark, sf_dir):
+    """Pre-bucketed LSH ANN (the documented scale path for
+    lsh_ann_topk): candidate lookup is a pruned scan of the query's
+    `bands` partition buckets, never a full signature pass.  Rows-only
+    like the ad-hoc twin (approximate by design; recall and
+    indexed-equals-ad-hoc parity are property-tested in pytest)."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = load_embeddings(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    key = sf_dir.rstrip("/") + "#lshann@" + _content_fp(sf_dir, "embeddings")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "bids_contract_lsh_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    idx = sim.LshAnnIndex(d)
+    if idx.dim is None:
+        idx.build(emb)
+    return idx.topk(spark, qv, 10)
+
+
 def q_ivf_ann_topk(spark, sf_dir):
     """IVF coarse-quantizer ANN (rows-only: approximate by design;
     recall property-tested against cosine_topk in pytest)."""
