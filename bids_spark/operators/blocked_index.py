@@ -59,6 +59,11 @@ from pyspark.sql import types as T
 
 from bids_spark import B, K1, MAX_TOKEN_LEN
 from bids_spark.io import CommitLog, ParquetTableIO, PosixRenameLog, TableIO
+from bids_spark.operators.chunkgrid import (
+    CM_BUILD_MIN_BLOCKS,
+    OM_SLICE_CAP,
+    chunk_grid,
+)
 from bids_spark.operators.codec import BLOCK_SIZE, encode_block
 
 _SPLIT = re.compile(r"[\W_]+", flags=re.UNICODE)
@@ -297,6 +302,7 @@ class BlockedIndex:
         n_buckets: int = 8,
         with_positions: bool = False,
         score_mode: str = "dl",
+        cm_sidecar: bool | None = None,
     ) -> dict:
         """Build all stages (resumable). Returns the manifest.
 
@@ -318,6 +324,13 @@ class BlockedIndex:
         (tantivy record:"position", meta.json:29) so phrase queries
         run on the blocked path; forces the builtin tokenizer and
         costs ~1 extra byte/occurrence in the payloads.
+
+        cm_sidecar: precompute the per-term chunk-max tables the
+        engine's range-aligned bounds and AND-intersection bitmaps
+        read (wand.py Phase 3) — cold multi-term queries then skip
+        their metadata aggregation.  None (default) auto-builds it
+        only above CM_BUILD_MIN_BLOCKS total blocks (below that no
+        query engages those bounds and the stage is pure cost).
 
         score_mode: "dl" (default) stores the doc length per posting
         (1-2 B) and recomputes the exact float64 BM25 at decode —
@@ -498,6 +511,79 @@ class BlockedIndex:
                 "terms", partition_by=["bucket"],
             )
             self._mark(man, "terms", blk_fp, seconds=time.time() - t0)
+
+        if cm_sidecar is None:
+            # auto: skip on indexes too small for any query to reach
+            # the engine's aligned/bitmap engage threshold — the stage
+            # would be pure build cost there (chunkgrid.py rationale)
+            cm_sidecar = (
+                int(man["stages"]["blocks"].get("rows") or 0)
+                >= CM_BUILD_MIN_BLOCKS
+            )
+        if cm_sidecar and not self._stage_done(man, "cm", blk_fp):
+            # chunk-max sidecar (tantivy precomputes its block-max
+            # metadata at index time for the same reason): per-term
+            # per-chunk max block score over the shared grid
+            # (operators/chunkgrid.py), so cold multi-term queries
+            # serve their range-aligned bounds and AND-intersection
+            # bitmaps from a pruned scan of ≤ n_chunks rows/term
+            # instead of aggregating candidate block metadata.  Narrow
+            # blocks (span ≤ OM_SLICE_CAP chunks) explode — bounded at
+            # n_blocks + n_chunks rows/term by interval disjointness;
+            # wide blocks (the tail vocabulary's single whole-domain
+            # blocks, which would explode to n_chunks rows EACH) are
+            # stored un-exploded as (c1, c2, m) ranges and max-merged
+            # into the dense array driver-side (wand._cm_arrays).
+            t0 = time.time()
+            st = man["stages"]["blocks"]
+            lo_d, hi_d = st.get("doc_lo"), st.get("doc_hi")
+            lo, width, n_chunks = chunk_grid(
+                int(lo_d or 0), int(hi_d or 0)
+            )
+            bl = self.io.read(spark, "blocks")
+            c1 = F.floor(
+                (F.col("first_doc") - F.lit(lo)) / F.lit(width)
+            ).cast("int")
+            c2 = F.floor(
+                (F.col("max_doc") - F.lit(lo)) / F.lit(width)
+            ).cast("int")
+            span = c2 - c1 + F.lit(1)
+            base = bl.select(
+                "bucket", "term", "block_max_score",
+                c1.alias("c1"), c2.alias("c2"), span.alias("span"),
+            )
+            narrow = (
+                base.filter(F.col("span") <= F.lit(OM_SLICE_CAP))
+                .select(
+                    "bucket", "term", "block_max_score",
+                    F.explode(F.sequence("c1", "c2")).alias("c"),
+                )
+                .groupBy("bucket", "term", "c")
+                .agg(F.max("block_max_score").alias("m"))
+            )
+            wide = (
+                base.filter(F.col("span") > F.lit(OM_SLICE_CAP))
+                .groupBy("bucket", "term", "c1", "c2")
+                .agg(F.max("block_max_score").alias("m"))
+            )
+            self.io.write(
+                narrow.repartition("bucket").sortWithinPartitions("term", "c"),
+                "cm", partition_by=["bucket"],
+            )
+            # an empty partitioned write leaves an unreadable dir (no
+            # schema) — write cm_wide only when wide blocks exist and
+            # record the count so readers know whether to scan it
+            wide_rows = wide.count()
+            if wide_rows:
+                self.io.write(
+                    wide.repartition("bucket").sortWithinPartitions("term"),
+                    "cm_wide", partition_by=["bucket"],
+                )
+            self._mark(
+                man, "cm", blk_fp, seconds=time.time() - t0,
+                lo=lo, width=width, n_chunks=n_chunks,
+                wide_rows=wide_rows,
+            )
         return self._manifest()
 
     # ---- read side --------------------------------------------------------

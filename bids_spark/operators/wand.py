@@ -33,7 +33,12 @@ state doesn't distribute.  This is the exact distributed reformulation
                        rows per term, because a term's blocks are
                        DISJOINT doc intervals), collected as tiny
                        per-term dense arrays — O(terms × n_chunks)
-                       driver bytes, independent of corpus size — and
+                       driver bytes, independent of corpus size.
+                       Indexes built with the "cm" sidecar stage
+                       (blocked_index.py) serve these arrays from a
+                       pruned scan of precomputed rows instead of the
+                       aggregation (tantivy likewise precomputes its
+                       block-max metadata at index time) — and
                        applied as a pure column expression (literal
                        array + slice/array_max), so candidate payloads
                        are never shuffled or joined at any scale.
@@ -88,6 +93,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bids_spark.functions.hashing import term_bucket
+from bids_spark.operators import chunkgrid
 from bids_spark.operators.blocked_index import BlockedIndex
 from bids_spark.operators.codec import decode_block, decode_block_positions
 from bids_spark.plans.parser import Bool, Phrase, Term, parse_query
@@ -318,20 +324,16 @@ class BlockedSearchEngine(BooleanEvaluator):
 
     # -- range-aligned other-term bounds (aligned BMW) -------------------------
 
-    # Chunk-grid cap: the cm job collects ≤ |terms| × OM_MAX_CHUNKS
-    # rows and the filter expression embeds one OM_MAX_CHUNKS-double
-    # literal array per term (~128 KB each in the task binary) — O(1)
-    # in corpus size.  Finer grids align the bound to finer vocabulary
-    # drift; 16384 chunks resolve per-host/topic drift far below the
-    # block count of any head term.
-    OM_MAX_CHUNKS = 16384
-    # Never cut chunks finer than ~half a typical 128-posting block
-    # span — below that the grid buys no extra tightness.
-    OM_MIN_CHUNK_DOCS = 64
-    # Blocks spanning more than this many chunks take the loose
-    # Σ gmax bound instead of an O(span) array slice — they are the
-    # rare wide-range blocks of low-df terms, cheap to decode anyway.
-    OM_SLICE_CAP = 1024
+    # Grid geometry constants shared with the build-time cm sidecar
+    # stage (operators/chunkgrid.py — rationale documented there).
+    OM_MAX_CHUNKS = chunkgrid.OM_MAX_CHUNKS
+    OM_MIN_CHUNK_DOCS = chunkgrid.OM_MIN_CHUNK_DOCS
+    OM_SLICE_CAP = chunkgrid.OM_SLICE_CAP
+    # Master switch for serving cm arrays from the index's build-time
+    # sidecar tables (cm / cm_wide) instead of aggregating candidate
+    # block metadata per cold query (A/B-able; auto-falls-back when
+    # the index predates the stage or its grid differs).
+    CM_SIDECAR = True
     # Master switch for the aligned bound (A/B-able per call).
     OM_ALIGNED = True
     # Master switch for the AND-path intersection bitmap (A/B-able):
@@ -383,10 +385,38 @@ class BlockedSearchEngine(BooleanEvaluator):
     def _chunk_grid(self) -> tuple[int, int, int]:
         """(lo, chunk_width, n_chunks) — fixed per engine."""
         lo, hi = self._doc_domain()
-        span = max(1, hi - lo + 1)
-        n = min(self.OM_MAX_CHUNKS, max(1, span // self.OM_MIN_CHUNK_DOCS))
-        width = -(-span // n)  # ceil
-        return lo, width, -(-span // width)
+        return chunkgrid.chunk_grid(
+            lo, hi, self.OM_MAX_CHUNKS, self.OM_MIN_CHUNK_DOCS
+        )
+
+    def _cm_sidecar(self) -> tuple[DataFrame, DataFrame] | None:
+        """(cm, cm_wide) readers when the index carries the build-time
+        chunk-max stage AND its grid matches this engine's — else None
+        (engine falls back to the per-query metadata aggregation).
+        Segmented engines have no single `index` and always fall back
+        (their block maxima are idf-rescaled per query)."""
+        if not self.CM_SIDECAR:
+            return None
+        idx = getattr(self, "index", None)
+        if idx is None:
+            return None
+        try:
+            st = idx._manifest()["stages"]["cm"]
+        except (KeyError, FileNotFoundError):
+            return None
+        if "wide_rows" not in st:
+            # sidecar from an incompatible (pre-wide_rows) build:
+            # soundness requires knowing whether wide blocks exist
+            return None
+        if (int(st["lo"]), int(st["width"]), int(st["n_chunks"])) != \
+                self._chunk_grid():
+            return None
+        wide = (
+            idx.io.read(self.spark, "cm_wide")
+            if int(st["wide_rows"] or 0)
+            else None
+        )
+        return idx.io.read(self.spark, "cm"), wide
 
     def _chunk_expr(self, col, lo: int, width: int):
         # doc ids ≤ 2^53 stay exact through the double division
@@ -412,26 +442,50 @@ class BlockedSearchEngine(BooleanEvaluator):
         )
         built: dict[str, np.ndarray] = {}
         if missing:
-            rows = (
-                tb.filter(F.col("term").isin(missing))
-                .select(
-                    "term",
-                    "block_max_score",
-                    F.explode(
-                        F.sequence(
-                            self._chunk_expr(F.col("first_doc"), lo, width),
-                            self._chunk_expr(F.col("max_doc"), lo, width),
-                        )
-                    ).alias("c"),
-                )
-                .groupBy("term", "c")
-                .agg(F.max("block_max_score").alias("m"))
-                .collect()
-            )
             for t in missing:
                 built[t] = np.zeros(n)
-            for r in rows:
-                built[r["term"]][r["c"]] = r["m"]
+            side = self._cm_sidecar()
+            if side is not None:
+                # serve from the build-time sidecar: two pruned scans
+                # (bucket directory + term row-group stats) of ≤
+                # n_chunks rows/term — no aggregation job per cold term
+                cm_df, wide_df = side
+                for r in (
+                    self._bucket_filter(cm_df, missing)
+                    .filter(F.col("term").isin(missing))
+                    .select("term", "c", "m")
+                    .collect()
+                ):
+                    built[r["term"]][r["c"]] = r["m"]
+                if wide_df is not None:
+                    for r in (
+                        self._bucket_filter(wide_df, missing)
+                        .filter(F.col("term").isin(missing))
+                        .select("term", "c1", "c2", "m")
+                        .collect()
+                    ):
+                        a = built[r["term"]]
+                        s = slice(int(r["c1"]), int(r["c2"]) + 1)
+                        np.maximum(a[s], r["m"], out=a[s])
+            else:
+                rows = (
+                    tb.filter(F.col("term").isin(missing))
+                    .select(
+                        "term",
+                        "block_max_score",
+                        F.explode(
+                            F.sequence(
+                                self._chunk_expr(F.col("first_doc"), lo, width),
+                                self._chunk_expr(F.col("max_doc"), lo, width),
+                            )
+                        ).alias("c"),
+                    )
+                    .groupBy("term", "c")
+                    .agg(F.max("block_max_score").alias("m"))
+                    .collect()
+                )
+                for r in rows:
+                    built[r["term"]][r["c"]] = r["m"]
             if self._cm_memo is not None:
                 self._cm_memo.update(built)
         return {

@@ -128,3 +128,29 @@ def test_auto_threshold_keeps_tiny_queries_jobless(spark, index):
     e = BlockedSearchEngine(spark, index, cache=True)
     e.search("data AND t1x", 10).collect()
     assert e._cm_memo == {}
+
+
+def test_segmented_and_bitmap_exact(spark, drifted, naive, tmp_path):
+    """Two segments split across bands: the intersection bitmap runs
+    over the idf-substituted union (rescaled block maxima do not
+    change presence: score > 0 iff a block exists) and must stay
+    rank- and score-identical to the naive engine; a disjoint-band
+    AND is still proved empty across segments."""
+    from bids_spark.operators.segments import SegmentedIndex
+
+    si = SegmentedIndex(str(tmp_path / "segroot"))
+    si.add_segment(
+        drifted.filter(F.col("doc_id") < 40_000_000),
+        fingerprint="sa", n_partitions=4,
+    )
+    si.add_segment(
+        drifted.filter(F.col("doc_id") >= 40_000_000),
+        fingerprint="sb", n_partitions=4,
+    )
+    seng = si.engine(spark)
+    seng.OM_MIN_BLOCKS = 0
+    for q in ("data AND t1x", "t2x AND t2y", "+t3x the data"):
+        assert _top(seng, q) == _top(naive, q)
+    s = seng.and_pruning_stats("t0x AND t3x")
+    assert s["empty_proved"]
+    assert seng.search("t0x AND t3x", 10).count() == 0

@@ -1,0 +1,147 @@
+"""Build-time chunk-max sidecar (blocked_index "cm" stage +
+wand._cm_sidecar): cold queries serve their aligned bounds and
+AND-intersection bitmaps from a pruned scan of precomputed per-term
+chunk maxima instead of aggregating candidate block metadata — with
+wide blocks (span > OM_SLICE_CAP chunks) stored un-exploded and
+max-merged driver-side.  Parity with the aggregation path must be
+exact (same float64 maxima on both sides)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bids_spark.operators.blocked_index import BlockedIndex
+from bids_spark.operators.wand import BlockedSearchEngine
+
+REPLICATE, TOPICS = 8, 4
+
+
+@pytest.fixture(scope="module")
+def drifted_wide(spark, docs):
+    """Drift fixture + a rare term `rwide` present only in the FIRST
+    and LAST replicas — its postings span the whole doc domain, so at
+    128 postings/block at least one of its blocks spans > OM_SLICE_CAP
+    chunks (the wide-block storage path)."""
+    g = (F.col("rep") * TOPICS / F.lit(REPLICATE)).cast("long")
+    big = (
+        docs.crossJoin(
+            F.broadcast(spark.range(REPLICATE).select(F.col("id").alias("rep")))
+        )
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.format_string(
+                    " t%dx t%dx t%dx t%dy t%dy t%dz", g, g, g, g, g, g
+                ),
+                F.when(
+                    F.col("rep").isin(0, REPLICATE - 1), F.lit(" rwide")
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        .cache()
+    )
+    big.count()
+    return big
+
+
+@pytest.fixture(scope="module")
+def index(drifted_wide, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cmside") / "idx")
+    bi = BlockedIndex(root)
+    # force the stage: the fixture corpus is below CM_BUILD_MIN_BLOCKS
+    bi.build(
+        drifted_wide, fingerprint="cm-sidecar", n_partitions=8,
+        cm_sidecar=True,
+    )
+    return bi
+
+
+def _engine(spark, index, sidecar: bool) -> BlockedSearchEngine:
+    e = BlockedSearchEngine(spark, index)
+    e.OM_MIN_BLOCKS = 0
+    e.CM_SIDECAR = sidecar
+    return e
+
+
+def test_build_writes_cm_stage(index, spark):
+    st = index._manifest()["stages"]["cm"]
+    assert st["n_chunks"] >= 1 and st["width"] >= 1
+    # the wide term actually produced at least one un-exploded row
+    wide = index.io.read(spark, "cm_wide")
+    assert wide.filter(F.col("term") == "rwide").count() >= 1
+
+
+def test_sidecar_grid_matches_engine(spark, index):
+    e = _engine(spark, index, sidecar=True)
+    st = index._manifest()["stages"]["cm"]
+    assert (int(st["lo"]), int(st["width"]), int(st["n_chunks"])) == \
+        e._chunk_grid()
+    assert e._cm_sidecar() is not None
+
+
+@pytest.mark.parametrize(
+    "terms",
+    [["data", "t1x"], ["the", "t3x", "rwide"], ["rwide", "t0x"]],
+)
+def test_cm_arrays_parity_sidecar_vs_agg(spark, index, terms):
+    side = _engine(spark, index, sidecar=True)
+    agg = _engine(spark, index, sidecar=False)
+    a = side._cm_arrays(side._term_blocks(terms), terms)
+    b = agg._cm_arrays(agg._term_blocks(terms), terms)
+    for t in terms:
+        assert np.array_equal(a[t], b[t]), t
+
+
+def test_pruning_counters_identical_on_both_paths(spark, index):
+    side = _engine(spark, index, sidecar=True)
+    agg = _engine(spark, index, sidecar=False)
+    for q in ("data t1x", "the t3x"):
+        sa = side.pruning_stats(q, 10, "dict", aligned=True)
+        sb = agg.pruning_stats(q, 10, "dict", aligned=True)
+        assert (sa["blocks_survive"], sa["theta"]) == (
+            sb["blocks_survive"], sb["theta"])
+    sa = side.and_pruning_stats("data AND t1x")
+    sb = agg.and_pruning_stats("data AND t1x")
+    assert sa == sb
+
+
+def test_search_results_identical_on_both_paths(spark, index):
+    side = _engine(spark, index, sidecar=True)
+    agg = _engine(spark, index, sidecar=False)
+    for q in ("data t1x", "rwide AND the", "t0x AND t3x"):
+        assert [
+            (r["doc_id"], r["score"]) for r in side.search(q, 10).collect()
+        ] == [
+            (r["doc_id"], r["score"]) for r in agg.search(q, 10).collect()
+        ]
+
+
+def test_pre_sidecar_index_falls_back(spark, index):
+    """An index built before the cm stage existed (manifest without
+    it) must silently use the aggregation path."""
+    man = index._manifest()
+    st = man["stages"].pop("cm")
+    try:
+        e = _engine(spark, index, sidecar=True)
+        index._manifest = lambda: man  # type: ignore[method-assign]
+        assert e._cm_sidecar() is None
+        terms = ["data", "t1x"]
+        arrs = e._cm_arrays(e._term_blocks(terms), terms)
+        assert all(a.any() for a in arrs.values())
+    finally:
+        del index._manifest  # restore the class method
+        man["stages"]["cm"] = st
+
+
+def test_auto_skips_stage_on_small_index(spark, drifted_wide, tmp_path):
+    """Default build below CM_BUILD_MIN_BLOCKS must not pay for the
+    stage (it would be pure cost: no query there can reach the
+    engine's engage threshold)."""
+    bi = BlockedIndex(str(tmp_path / "idx_auto"))
+    man = bi.build(drifted_wide, fingerprint="cm-auto", n_partitions=8)
+    assert "cm" not in man["stages"]
+    e = _engine(spark, bi, sidecar=True)
+    assert e._cm_sidecar() is None  # graceful fallback, no crash

@@ -65,12 +65,16 @@ def run_level(cpus: int, sf_dir: str, replicate: int, corpus_dir: str) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", _WORKER % {"repo": REPO},
          str(cpus), sf_dir, str(replicate), corpus_dir],
-        capture_output=True, text=True, check=True, cwd=REPO,
+        capture_output=True, text=True, cwd=REPO,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
-    raise RuntimeError(f"no RESULT line:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    # surface the worker's own traceback (CalledProcessError hides it)
+    raise RuntimeError(
+        f"worker cpus={cpus} exit={out.returncode}, no RESULT line:\n"
+        f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
 
 
 def main():
