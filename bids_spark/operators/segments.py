@@ -648,6 +648,14 @@ class SegmentedSearchEngine(BlockedSearchEngine):
         self.blocks = None
         self.tdict = None
 
+    # The chunk-max sidecar is PER SEGMENT with raw (unrescaled) block
+    # maxima; this engine's bounds need idf-rescaled maxima over the
+    # segment UNION.  Segments that share the union's doc domain (e.g.
+    # an even/odd doc split) would pass the parent's grid check and
+    # silently serve one segment's raw arrays — so the sidecar is hard
+    # OFF here and cm aggregates from the rescaled union every time.
+    CM_SIDECAR = False
+
     # -- global metadata ------------------------------------------------------
 
     def _term_meta(self, terms: list[str]) -> dict[str, dict]:

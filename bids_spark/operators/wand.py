@@ -389,12 +389,14 @@ class BlockedSearchEngine(BooleanEvaluator):
             lo, hi, self.OM_MAX_CHUNKS, self.OM_MIN_CHUNK_DOCS
         )
 
-    def _cm_sidecar(self) -> tuple[DataFrame, DataFrame] | None:
-        """(cm, cm_wide) readers when the index carries the build-time
-        chunk-max stage AND its grid matches this engine's — else None
-        (engine falls back to the per-query metadata aggregation).
-        Segmented engines have no single `index` and always fall back
-        (their block maxima are idf-rescaled per query)."""
+    def _cm_sidecar(self) -> tuple[DataFrame, DataFrame | None] | None:
+        """(cm, cm_wide-or-None) readers when the index carries the
+        build-time chunk-max stage AND its grid matches this engine's —
+        else None (engine falls back to the per-query metadata
+        aggregation).  Segmented engines hard-disable the sidecar
+        (class override: their bounds need idf-RESCALED maxima over the
+        segment union, and a same-domain segment would pass the grid
+        check)."""
         if not self.CM_SIDECAR:
             return None
         idx = getattr(self, "index", None)

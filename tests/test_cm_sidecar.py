@@ -145,3 +145,35 @@ def test_auto_skips_stage_on_small_index(spark, drifted_wide, tmp_path):
     assert "cm" not in man["stages"]
     e = _engine(spark, bi, sidecar=True)
     assert e._cm_sidecar() is None  # graceful fallback, no crash
+
+
+def test_segmented_engine_never_uses_sidecar(spark, drifted_wide, tmp_path):
+    """A segmented engine's bounds need idf-RESCALED maxima over the
+    segment union; an even/odd doc split shares the union's domain and
+    would pass the grid check — the class must hard-disable the
+    sidecar even when its segments carry cm stages."""
+    from bids_spark.operators.segments import SegmentedIndex, SegmentedSearchEngine
+
+    assert SegmentedSearchEngine.CM_SIDECAR is False
+    si = SegmentedIndex(str(tmp_path / "segroot"))
+    si.add_segment(
+        drifted_wide.filter(F.col("doc_id") % 2 == 0),
+        fingerprint="ev", n_partitions=4, cm_sidecar=True,
+    )
+    si.add_segment(
+        drifted_wide.filter(F.col("doc_id") % 2 == 1),
+        fingerprint="od", n_partitions=4, cm_sidecar=True,
+    )
+    seng = si.engine(spark)
+    seng.OM_MIN_BLOCKS = 0
+    assert seng._cm_sidecar() is None
+    # and the aggregated (rescaled-union) bounds stay exact
+    from bids_spark.plans.planner import SearchEngine
+
+    naive = SearchEngine.from_documents(drifted_wide, cache=False)
+    for q in ("data t1x", "data AND t1x"):
+        a = [(r["doc_id"], round(r["score"], 9))
+             for r in seng.search(q, 10).collect()]
+        b = [(r["doc_id"], round(r["score"], 9))
+             for r in naive.search(q, 10).collect()]
+        assert a == b

@@ -28,6 +28,7 @@ from bids_spark.plans.planner import SearchEngine  # noqa: E402
 from bids_spark.session import get_spark  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MARK = "<!-- hand-recorded evidence below: preserved by explain_plans.py -->"
 
 
 def fmt(df) -> str:
@@ -66,6 +67,18 @@ def main() -> None:
             "join of the cm arrays onto block rows, no payload "
             "shuffle.",
             eng._topk_or_pruned(["merge", "join"], 10, aligned=True),
+        ),
+        (
+            "Flat AND top-k: matched-count plan",
+            "Expect: pruned scan → decode → HashAggregate with "
+            "count(DISTINCT term-if-must) + sum(score), Filter on the "
+            "matched count, TakeOrderedAndProject.  When the "
+            "intersection bitmap engages (≥ OM_MIN_BLOCKS candidate "
+            "blocks, or forced), it folds into the scan's codegen "
+            "Filter as one constant-folded array literal — see the "
+            "hand-recorded 3M-doc audit below (\"AND-restriction plan "
+            "audit\").",
+            eng._topk_bool(["merge", "join"], [], [], 10),
         ),
         (
             "Naive postings build (C2): tokenize → explode → groupBy",
@@ -135,8 +148,15 @@ def main() -> None:
     for title, expect, df in sections:
         out += [f"## {title}", "", expect, "", "```", fmt(df).rstrip(), "```", ""]
     path = os.path.join(REPO, "BENCH", "PLANS.md")
+    # everything below the marker is HAND-RECORDED evidence (pruning
+    # tables, scale measurements) — regeneration must never wipe it
+    preserved = MARK + "\n"
+    if os.path.exists(path):
+        cur = open(path).read()
+        if MARK in cur:
+            preserved = cur[cur.index(MARK):]
     with open(path, "w") as f:
-        f.write("\n".join(out))
+        f.write("\n".join(out) + "\n" + preserved)
     print(path)
     spark.stop()
 
