@@ -71,6 +71,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": C.q_source_stats,
         "snippet": C.q_snippet,
         "filter_decision": C.q_filter_decision,
+        # result fetch / shaping (D9/D10/C7) + the A4 ingest invariant
+        "search_fetch": C.q_search_fetch,
+        "search_dedup_paged": C.q_search_dedup_paged,
+        "extract_invariant": C.q_extract_invariant,
         # event-stream operators (batch twins of streaming/windows.py)
         "windowed_counts": C.q_windowed_counts,
         "sessionize": C.q_sessionize,
@@ -137,6 +141,11 @@ def oracle_sql() -> dict[str, str]:
         "source_stats": C.SQL_SOURCE_STATS,
         "snippet": C.snippet_sql(C._SNIPPET_TERMS, width=80, context=20),
         "filter_decision": C.SQL_FILTER_DECISION,
+        "search_fetch": C.bm25_fetch_sql(should=["merge", "join"]),
+        "search_dedup_paged": C.bm25_dedup_page_sql(
+            should=["merge", "join"], limit=5, offset=2
+        ),
+        "extract_invariant": C.SQL_EXTRACT_INVARIANT,
         "windowed_counts": C.SQL_WINDOWED_COUNTS,
         "sessionize": C.SQL_SESSIONIZE,
         "ngram_jaccard": C.SQL_NGRAM_JACCARD,

@@ -1126,3 +1126,160 @@ SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
                  CAST(greatest(n // 4, 1) * 2 AS BIGINT)) AS frame_hex
 FROM f
 """
+
+
+# ---------------------------------------------------------------------------
+# result fetch / shaping (operators/fetch.py — D9/D10/C7 under the oracle)
+# and the A4 ingest invariant (sources/corpus.py extract_text_expr)
+# ---------------------------------------------------------------------------
+
+
+def q_search_fetch(spark, sf_dir):
+    """D10 doc fetch + C7 stored fields: blocked-path top-10 joined
+    back to the documents table (broadcast top-k probe, fetch.py).
+    The oracle recomputes BM25 AND the join — result content must
+    match the docstore row byte-for-byte (prefix)."""
+    from bids_spark.operators.fetch import fetch_docs
+
+    docs = load_documents(spark, sf_dir)
+    res = _search_blocked(spark, sf_dir, "merge join", 10)
+    return fetch_docs(res, docs, prefix_len=80)
+
+
+def bm25_fetch_sql(should: list[str], k: int = 10, prefix_len: int = 80) -> str:
+    topk = bm25_topk_sql(should=should, k=k)
+    return f"""
+SELECT s.rank, s.doc_id, s.score, d.source,
+       substr(d.text, 1, {prefix_len}) AS content_prefix
+FROM ({topk}) s JOIN documents d USING (doc_id)
+ORDER BY s.rank
+"""
+
+
+# duplicate-content corpus rule for the dedup row: every even doc_id is
+# "re-crawled" under doc_id + 1e8 with identical text — deterministic,
+# nameable in SQL, and guaranteed to place duplicate pairs inside the
+# over-fetch window (identical text → identical score → adjacent ranks,
+# original first by the doc_id ASC tiebreak).
+_DEDUP_DUP_MOD = 2
+_DEDUP_DUP_ADD = 100_000_000
+_DEDUP_LIMIT, _DEDUP_OFFSET, _DEDUP_PAGE = 5, 2, 10
+
+
+def q_search_dedup_paged(spark, sf_dir):
+    """D9 over-fetch + content-dedup + pagination as a distributed plan
+    (fetch.py dedup_paged; reference quirk bids/index.py:151-181): BM25
+    over the duplicate-augmented corpus, fetch offset+limit+PAGE rows,
+    drop later results with identical text, re-rank, slice the page."""
+    from bids_spark.operators.fetch import dedup_paged
+
+    docs = load_documents(spark, sf_dir)
+    dup = docs.where(F.col("doc_id") % _DEDUP_DUP_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_DEDUP_DUP_ADD)
+    )
+    corpus = docs.unionByName(dup)
+    eng = SearchEngine.from_documents(corpus, cache=False)
+    fetch_n = _DEDUP_OFFSET + _DEDUP_LIMIT + _DEDUP_PAGE
+    res = eng.search("merge join", fetch_n)
+    out = dedup_paged(
+        res, corpus, limit=_DEDUP_LIMIT, offset=_DEDUP_OFFSET,
+        page_size=_DEDUP_PAGE,
+    )
+    return out.select(
+        F.col("position").cast("long").alias("position"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def bm25_dedup_page_sql(
+    should: list[str],
+    limit: int,
+    offset: int = 0,
+    page_size: int = 10,
+    dup_mod: int = _DEDUP_DUP_MOD,
+    dup_add: int = _DEDUP_DUP_ADD,
+) -> str:
+    fetch_n = offset + limit + page_size
+    qvals = ", ".join("('" + t.replace("'", "''") + "')" for t in should)
+    ctes = _TOK_CTES.replace("FROM documents", "FROM docs2")
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {dup_add} AS doc_id, text FROM documents
+  WHERE doc_id % {dup_mod} = 0
+),
+{ctes},
+qterms(term) AS (VALUES {qvals}),
+scored AS (
+  SELECT p.doc_id, SUM({_BM25_SCORE_SQL}) AS score
+  FROM post p
+  JOIN qterms q ON p.term = q.term
+  JOIN tstat ts ON p.term = ts.term
+  JOIN dl d ON p.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+topn AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank,
+         doc_id, score
+  FROM scored ORDER BY score DESC, doc_id ASC
+  LIMIT {fetch_n}
+),
+j AS (
+  SELECT t.rank, t.doc_id, t.score, d.text
+  FROM topn t JOIN docs2 d USING (doc_id)
+),
+dd AS (
+  SELECT rank, doc_id, score,
+         row_number() OVER (PARTITION BY text ORDER BY rank) AS rn
+  FROM j
+),
+kept AS (SELECT rank, doc_id, score FROM dd WHERE rn = 1),
+paged AS (
+  SELECT CAST(row_number() OVER (ORDER BY rank) AS BIGINT) AS position,
+         doc_id, round(score, 6) AS score
+  FROM kept
+)
+SELECT position, doc_id, score FROM paged
+WHERE position > {offset} AND position <= {offset + limit}
+ORDER BY position
+"""
+
+
+# A4 ingest invariant under the oracle: wrap each document's text in a
+# deterministic HTML shell (script + style + comment + tags, NO visible
+# text of its own), run the vectorized Catalyst extractor, and hash.
+# The oracle hashes the ORIGINAL text — byte-identical extraction per
+# row is exactly the input_hint invariant, certified per round by the
+# independent engine.  (The corpus is single-spaced trimmed text, so
+# the extractor's whitespace collapse is the identity on it; the
+# collapse semantics themselves are pinned by the committed sha256
+# manifest tests, tests/test_ingest_invariant.py.)
+_EXTRACT_WRAP_PRE = (
+    '<html><head><script type="text/javascript">var greet = "hello";\n'
+    "if (page) { track(page); }</script>"
+    "<style>.main { color: #333; margin: 0 auto; }</style>"
+    '</head><body><p class="content">'
+)
+_EXTRACT_WRAP_POST = "</p><!-- footer comment --></body></html>"
+
+
+def q_extract_invariant(spark, sf_dir):
+    from bids_spark.sources.corpus import extract_text_expr
+
+    docs = load_documents(spark, sf_dir)
+    html = F.concat(
+        F.lit(_EXTRACT_WRAP_PRE), F.col("text"), F.lit(_EXTRACT_WRAP_POST)
+    )
+    extracted = extract_text_expr(F.encode(html, "UTF-8"))
+    return docs.select(
+        "doc_id", F.sha2(extracted, 256).alias("text_sha256")
+    )
+
+
+SQL_EXTRACT_INVARIANT = """
+SELECT doc_id, sha256(text) AS text_sha256 FROM documents
+"""
