@@ -103,6 +103,27 @@ def main() -> None:
         ),
     ]
 
+    # round-4 result shaping (operators/fetch.py)
+    from bids_spark.operators.fetch import dedup_paged, fetch_docs
+
+    sections += [
+        (
+            "Result fetch (D10/C7): top-k joined back to documents",
+            "Expect: BroadcastHashJoin with the TOP-K side broadcast — "
+            "the documents scan column-pruned to (doc_id, source, "
+            "text-prefix), never shuffled.",
+            fetch_docs(eng.search("merge join", 10), docs),
+        ),
+        (
+            "Over-fetch dedup pagination (D9)",
+            "Expect: the same broadcast probe of documents, then the "
+            "dedup/re-rank windows — both operate on ≤ over-fetch-"
+            "window rows (tens), so the single-partition window is "
+            "O(page), not O(corpus).",
+            dedup_paged(eng.search("merge join", 17), docs, limit=5, offset=2),
+        ),
+    ]
+
     # round-2 operators
     from bids_spark.operators.events import sessionize, windowed_counts
     from bids_spark.operators.webtext import remove_boilerplate, repetition_stats
