@@ -25,6 +25,13 @@ Mirrors the reference CLI surface (/root/reference/bids/search.py):
     --export FILE.zip       archive the dataset          (index.py:199-205)
     --import FILE.zip       restore a dataset            (index.py:207-213)
     --verbose               debug logging
+    --debug                 reference trace prints: dataset location
+                            (index.py:34-35), "Find files in DIR"
+                            (index.py:87), per-candidate dedup trace
+                            "N Add element." / "N Already found: …"
+                            (index.py:170-176), "Import file …"
+                            (index.py:200-201)
+    -V / --version          print version and exit    (search.py:76)
 
 Exit codes (search.py:119,137,139; README.md:475-481):
     0 success with results, 1 error, 2 search returned nothing.
@@ -124,7 +131,13 @@ def cmd_index(
     directory: str | None,
     parquet: str | None,
     pattern: str = "*",
+    debug: bool = False,
 ) -> int:
+    if directory and debug:
+        # reference get_files trace head (index.py:87); the per-file
+        # decisions run distributed here, so only the driver-side line
+        # is mirrored
+        print(f"Find files in {directory}")
     if parquet:
         docs = spark.read.parquet(parquet).select(
             "doc_id", F.col("text"), F.lit(None).cast("string").alias("file_path")
@@ -308,6 +321,7 @@ def cmd_search(
     offset: int = 0,
     show_snippets: bool = False,
     interactive: bool = False,
+    debug: bool = False,
 ) -> int:
     if not os.path.exists(_docs_path()):
         print("No dataset — run --index first", file=sys.stderr)
@@ -363,11 +377,22 @@ def cmd_search(
             )
     enriched = joined.orderBy("rank").collect()
     rows, seen = [], set()
+    cand_no = 0  # reference numbers every CANDIDATE, kept or dropped
     for r in enriched:
+        cand_no += 1
         key = r["text"]
         if key in seen:
+            if debug:
+                # index.py:174-176 trace (label = our doc identifier)
+                label = (r["file_path"] if meta_cols
+                         and r["file_path"] is not None
+                         else f"doc_id={r['doc_id']}")
+                print(f"{cand_no} Already found: {label}. "
+                      f"Score: {r['score']}")
             continue
         seen.add(key)
+        if debug:
+            print(f"{cand_no} Add element.")  # index.py:170-172
         rows.append(r)
         if len(rows) >= offset + limit:
             break
@@ -405,7 +430,9 @@ def cmd_export(archive: str) -> int:
     return 0
 
 
-def cmd_import(archive: str) -> int:
+def cmd_import(archive: str, debug: bool = False) -> int:
+    if debug:
+        print(f"Import file {archive}")  # index.py:200-201
     # reference validates zip before touching the dataset (index.py:190-197)
     if not zipfile.is_zipfile(archive):
         print(f"{archive} is not a valid archive", file=sys.stderr)
@@ -467,7 +494,24 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--export", metavar="ZIP")
     p.add_argument("--import", dest="import_", metavar="ZIP")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument(
+        "--debug", action="store_true",
+        help="reference trace prints: dataset location, ingest scan "
+             "head, per-candidate dedup decisions, import trace "
+             "(index.py:34,87,170-176,200)",
+    )
+    from bids_spark import __version__
+
+    p.add_argument(
+        "-V", "--version", action="version",
+        version=f"%(prog)s {__version__}",  # search.py:76
+    )
     a = p.parse_args(argv)
+
+    if a.debug:
+        # reference prints this at indexer construction, i.e. for every
+        # command (index.py:34-35)
+        print(f"Dataset location: {dataset_dir()}")
 
     try:
         if a.initialise:
@@ -475,10 +519,12 @@ def main(argv: list[str] | None = None) -> int:
         if a.export:
             return cmd_export(a.export)
         if a.import_:
-            return cmd_import(a.import_)
+            return cmd_import(a.import_, debug=a.debug)
         if a.index or a.index_parquet:
             spark = _get_spark(a.verbose)
-            return cmd_index(spark, a.index, a.index_parquet, a.pattern)
+            return cmd_index(
+                spark, a.index, a.index_parquet, a.pattern, debug=a.debug
+            )
         if a.append or a.append_parquet:
             spark = _get_spark(a.verbose)
             return cmd_append(
@@ -496,6 +542,7 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_search(
                 spark, a.search, a.results, offset=a.offset,
                 show_snippets=a.snippets, interactive=a.interactive,
+                debug=a.debug,
             )
         p.print_help()
         return 1

@@ -173,3 +173,43 @@ def test_ingest_pattern_filter(spark, corpus_dir):
     assert 0 < only_bin0x < all_docs
     none = ingest_directory(spark, corpus_dir, pattern="nope-*.json")
     assert none is None
+
+
+def test_cli_version_flag():
+    """-V/--version mirrors the reference (search.py:76): print and
+    exit 0, no Spark session."""
+    from bids_spark import __version__
+
+    r = _cli(dict(os.environ, PYTHONPATH=REPO), "--version")
+    assert r.returncode == 0
+    assert __version__ in r.stdout
+
+
+@pytest.mark.slow
+def test_cli_debug_trace(tmp_path, spark):
+    """--debug mirrors the reference trace surfaces (index.py:34,
+    170-176): dataset location line, per-candidate 'Add element.' /
+    'Already found:' dedup decisions."""
+    src = str(tmp_path / "dup_docs")
+    spark.createDataFrame(
+        [(1, "shared duplicate text body"),
+         (2, "shared duplicate text body"),
+         (3, "unique other body")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    env = dict(os.environ,
+               BIDS_DATASET=str(tmp_path / "ds"),
+               BIDS_SPARK_CLI_CORES="4",
+               PYTHONPATH=REPO)
+    assert _cli(env, "--initialise").returncode == 0
+    r = _cli(env, "--index-parquet", src, "--debug")
+    assert r.returncode == 0, r.stderr
+    assert f"Dataset location: {env['BIDS_DATASET']}" in r.stdout
+
+    r = _cli(env, "--search", "duplicate", "--debug")
+    assert r.returncode == 0, r.stderr
+    assert "1 Add element." in r.stdout
+    assert "Already found: doc_id=" in r.stdout
+    # without --debug the trace is silent
+    r = _cli(env, "--search", "duplicate")
+    assert "Add element." not in r.stdout
