@@ -303,10 +303,34 @@ class BlockedSearchEngine(BooleanEvaluator):
                 "for phrase queries"
             )
         uniq = list(dict.fromkeys(p.terms))
-        decoded = decode_blocks_positions(self._term_blocks(uniq))
+        meta = self._term_meta(uniq)
+        blocks = self._term_blocks(uniq)
+        if len(uniq) > 1:
+            # A phrase is a conjunction of its member terms plus an
+            # adjacency test, so the flat AND path's metadata
+            # restriction applies verbatim: blocks whose chunk span
+            # provably holds no doc containing ALL members can't hold
+            # a phrase match, and every posting of a matching doc
+            # survives (the _and_bitmap soundness argument), so the
+            # superset contract of eval_phrase is kept and scores are
+            # exact.  Positions decode is the costliest per-posting
+            # path in the engine — this is where skipping matters
+            # most.  Reference semantics: tantivy evaluates phrases as
+            # an intersection cursor before position verification
+            # (bids/index.py:155).
+            empty, bitmap_pred, rarest_ranges = self._bool_restriction(
+                sorted(uniq), sorted(uniq), meta=meta
+            )
+            if empty:
+                # a member term with zero postings, or an all-False
+                # intersection bitmap → no doc holds all members; the
+                # phrase provably matches nothing, zero decode jobs
+                return self._empty()
+            blocks = self._restrict_blocks(blocks, bitmap_pred, rarest_ranges)
+        decoded = decode_blocks_positions(blocks)
         n_docs, avgdl = self._stats()
         # phrase idf = Σ distinct member idfs — from the term dictionary
-        idf_sum = sum(float(m["idf"]) for m in self._term_meta(uniq).values())
+        idf_sum = sum(float(m["idf"]) for m in meta.values())
         return eval_phrase(
             decoded, self._doclens(), n_docs, avgdl, p, idf_sum=idf_sum
         )
@@ -749,15 +773,21 @@ class BlockedSearchEngine(BooleanEvaluator):
     RANGE_JOIN_PRODUCT_BUDGET = 1 << 26
 
     def _bool_restriction(
-        self, must_set: list[str], all_terms: list[str]
+        self,
+        must_set: list[str],
+        all_terms: list[str],
+        meta: dict[str, dict] | None = None,
     ) -> tuple[bool, object | None, DataFrame | None]:
         """(empty, bitmap_pred, rarest_ranges) for the flat must path.
         empty=True → the intersection is provably empty from metadata
         alone (zero-postings must term, or all-False intersection
-        bitmap) — skip every decode job."""
+        bitmap) — skip every decode job.  `meta` lets a caller that
+        already fetched the dictionary rows (the phrase path, for
+        idf_sum) avoid a second cold-mode lookup."""
         # one scan fetches meta for every query term: the must checks
         # need must_set, the product budget needs them all
-        meta = self._term_meta(all_terms)
+        if meta is None:
+            meta = self._term_meta(all_terms)
         if len([t for t in must_set if t in meta]) < len(must_set):
             # a must term with zero postings → the intersection is
             # empty (Lucene semantics); skip all decode work
@@ -799,6 +829,25 @@ class BlockedSearchEngine(BooleanEvaluator):
             )
         return False, bitmap_pred, rarest_ranges
 
+    @staticmethod
+    def _restrict_blocks(
+        blocks: DataFrame, bitmap_pred, rarest_ranges: DataFrame | None
+    ) -> DataFrame:
+        """Apply a _bool_restriction result to candidate blocks: the
+        intersection-bitmap column filter, then the rarest-term
+        interval semi-join (both optional; both exact — see
+        _and_bitmap / _bool_restriction soundness notes)."""
+        if bitmap_pred is not None:
+            blocks = blocks.filter(bitmap_pred)
+        if rarest_ranges is None:
+            return blocks
+        return blocks.join(
+            rarest_ranges,
+            (F.col("first_doc") <= F.col("r_hi"))
+            & (F.col("max_doc") >= F.col("r_lo")),
+            "left_semi",
+        )
+
     def _topk_bool(self, must: list[str], should: list[str],
                    must_not: list[str], k: int) -> DataFrame:
         must_set = sorted(set(must))
@@ -812,16 +861,7 @@ class BlockedSearchEngine(BooleanEvaluator):
                 return self._empty()
 
         def restrict(blocks: DataFrame) -> DataFrame:
-            if bitmap_pred is not None:
-                blocks = blocks.filter(bitmap_pred)
-            if rarest_ranges is None:
-                return blocks
-            return blocks.join(
-                rarest_ranges,
-                (F.col("first_doc") <= F.col("r_hi"))
-                & (F.col("max_doc") >= F.col("r_lo")),
-                "left_semi",
-            )
+            return self._restrict_blocks(blocks, bitmap_pred, rarest_ranges)
 
         pos_terms = list(dict.fromkeys(must + should))
         scored = self._decode(restrict(self._term_blocks(pos_terms)))
@@ -902,21 +942,34 @@ class BlockedSearchEngine(BooleanEvaluator):
         join — i.e. what _topk_bool would actually decode.  Counters
         are deterministic (noise-free evidence, like pruning_stats).
         `empty_proved` means metadata alone proved the intersection
-        empty (zero decode jobs)."""
+        empty (zero decode jobs).  A single top-level phrase query is
+        accepted too: the phrase path (_eval_phrase) applies the same
+        restriction with the phrase's member terms as the must set."""
         ast = parse_query(query)
-        must = [t.term for t in ast.must if isinstance(t, Term)]
-        assert (
-            must
-            and len(must) == len(ast.must)
-            and all(isinstance(s, Term) for s in ast.should)
-            and all(isinstance(n, Term) for n in ast.must_not)
-        ), "and_pruning_stats covers flat must queries (the _topk_bool path)"
-        must_set = sorted(set(must))
-        all_terms = sorted(
-            {*must}
-            | {s.term for s in ast.should}
-            | {n.term for n in ast.must_not}
-        )
+        nodes = ast.must + ast.should
+        if (
+            len(nodes) == 1
+            and not ast.must_not
+            and isinstance(nodes[0], Phrase)
+        ):
+            must = list(dict.fromkeys(nodes[0].terms))
+            must_set = all_terms = sorted(set(must))
+        else:
+            must = [t.term for t in ast.must if isinstance(t, Term)]
+            assert (
+                must
+                and len(must) == len(ast.must)
+                and all(isinstance(s, Term) for s in ast.should)
+                and all(isinstance(n, Term) for n in ast.must_not)
+            ), ("and_pruning_stats covers flat must queries (the "
+                "_topk_bool path) and single phrase queries (the "
+                "_eval_phrase path)")
+            must_set = sorted(set(must))
+            all_terms = sorted(
+                {*must}
+                | {s.term for s in ast.should}
+                | {n.term for n in ast.must_not}
+            )
         out = {
             "query": query, "k": k, "empty_proved": False,
             "blocks_total": 0, "postings_total": 0,

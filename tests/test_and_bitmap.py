@@ -154,3 +154,72 @@ def test_segmented_and_bitmap_exact(spark, drifted, naive, tmp_path):
     s = seng.and_pruning_stats("t0x AND t3x")
     assert s["empty_proved"]
     assert seng.search("t0x AND t3x", 10).count() == 0
+
+
+# -- phrase path: the same restriction applies to _eval_phrase ------------
+# (a phrase is a conjunction of its members + adjacency; positions decode
+# is the costliest per-posting path, so skipping matters most here)
+
+
+@pytest.fixture(scope="module")
+def index_pos(drifted, tmp_path_factory):
+    """Positions-ON twin of `index` for phrase queries."""
+    root = str(tmp_path_factory.mktemp("andbm_pos") / "idx")
+    bi = BlockedIndex(root)
+    bi.build(
+        drifted, fingerprint="and-bitmap-drift-pos",
+        n_partitions=8, with_positions=True,
+    )
+    return bi
+
+
+@pytest.fixture(scope="module")
+def forced_pos(spark, index_pos):
+    e = BlockedSearchEngine(spark, index_pos)
+    e.OM_MIN_BLOCKS = 0
+    return e
+
+
+PHRASE_QUERIES = [
+    '"t1x t1y"',       # same-band adjacent topic tokens: matches exist
+    '"t2y t2z"',
+    '"merge join"',    # all-head control
+    '"data t1x"',      # head+topic: restriction bites, likely no match
+    '"t0x t3x"',       # disjoint bands: proved empty from metadata
+]
+
+
+@pytest.mark.parametrize("q", PHRASE_QUERIES)
+def test_phrase_rank_identity_forced(forced_pos, naive, q):
+    assert _top(forced_pos, q) == _top(naive, q)
+
+
+@pytest.mark.parametrize("q", PHRASE_QUERIES)
+def test_phrase_restriction_off_matches_on(spark, index_pos, naive, q):
+    off = BlockedSearchEngine(spark, index_pos)
+    off.OM_MIN_BLOCKS = 0
+    off.AND_BITMAP = False
+    assert _top(off, q) == _top(naive, q)
+
+
+def test_phrase_has_matches_on_drift(forced_pos):
+    """Guard: the rank-identity set above is not vacuously empty —
+    the same-band phrases really match docs."""
+    assert forced_pos.search('"t1x t1y"', 10).count() > 0
+
+
+def test_phrase_bitmap_prunes_head_blocks_on_drift(forced_pos):
+    """'"data t1x"': t1x lives in band 1 only, so data's positions
+    blocks in the other 3 bands are pruned before decode."""
+    s = forced_pos.and_pruning_stats('"data t1x"')
+    assert not s["empty_proved"]
+    assert 0 < s["bitmap"]["blocks_survive"] < s["blocks_total"]
+
+
+def test_phrase_disjoint_bands_proved_empty(forced_pos, naive):
+    """'"t0x t3x"': metadata alone proves no doc holds both members —
+    zero positions-decode jobs, and both engines return zero rows."""
+    s = forced_pos.and_pruning_stats('"t0x t3x"')
+    assert s["empty_proved"]
+    assert forced_pos.search('"t0x t3x"', 10).count() == 0
+    assert naive.search('"t0x t3x"', 10).count() == 0
