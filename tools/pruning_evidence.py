@@ -82,6 +82,18 @@ DRIFT_AND_QUERIES = [
     "+t3x the data",
 ]
 
+# Phrase-path restriction evidence (wand._eval_phrase applies the same
+# _bool_restriction before the POSITIONS decode — the costliest
+# per-posting path).  Needs a positions-ON index (mode "phrase_only").
+# Topic tokens are adjacent at each drifted doc's tail
+# ("t3x t3x t3x t3y t3y t3z"), so same-band phrases really match.
+PHRASE_QUERIES = [
+    '"merge join"',   # all-head control: bitmap honestly prunes ~nothing
+    '"t3x t3y"',      # topic-topic, matches exist: decode confined to band 3
+    '"data t3x"',     # head+topic: data's positions blocks pruned to band 3
+    '"t1x t9y"',      # disjoint bands: proved empty, ZERO positions decode
+]
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -90,13 +102,17 @@ def main() -> None:
         sys.argv[3] if len(sys.argv) > 3 else "/tmp/pruning_evidence"
     )
     shape = sys.argv[4] if len(sys.argv) > 4 else "uniform"
+    mode = sys.argv[5] if len(sys.argv) > 5 else ""
+    phrase_only = mode == "phrase_only"
     spark = get_spark(app_name="pruning-evidence")
     if shape == "drift":
         big = drifted_corpus(spark, sf_dir, replicate, workdir, files=64)
         queries = QUERIES + DRIFT_QUERIES
-        idx_dir = os.path.join(workdir, f"idx_drift_x{replicate}")
-        fp = f"prune-evidence-drift-{sf_dir}-x{replicate}"
+        pos_tag = "_pos" if phrase_only else ""
+        idx_dir = os.path.join(workdir, f"idx_drift{pos_tag}_x{replicate}")
+        fp = f"prune-evidence-drift{pos_tag}-{sf_dir}-x{replicate}"
     else:
+        assert not phrase_only, "phrase evidence needs the drift corpus"
         big = replicated_corpus(spark, sf_dir, replicate, workdir, files=64)
         queries = QUERIES
         idx_dir = os.path.join(workdir, f"idx_x{replicate}")
@@ -104,7 +120,7 @@ def main() -> None:
     n_docs = big.count()
     bi = BlockedIndex(idx_dir)
     t0 = time.time()
-    bi.build(big, fingerprint=fp, with_positions=False)
+    bi.build(big, fingerprint=fp, with_positions=phrase_only)
     build_s = time.time() - t0
     eng = BlockedSearchEngine(spark, bi)
     eng.search("data", 10).collect()  # warm plans
@@ -125,9 +141,9 @@ def main() -> None:
             "postings_survive": s["postings_survive"],
         }, s
 
-    and_only = len(sys.argv) > 5 and sys.argv[5] == "and_only"
+    and_only = mode == "and_only"
     rows = []
-    for q in queries if not and_only else []:
+    for q in queries if not (and_only or phrase_only) else []:
         d_on, d_full = counters(q, "dict", True)
         d_off, _ = counters(q, "dict", False)
         p_on, _ = counters(q, "probe", True)
@@ -171,7 +187,12 @@ def main() -> None:
     off = BlockedSearchEngine(spark, bi)
     off.OM_MIN_BLOCKS = 0
     off.AND_BITMAP = False
-    and_qs = AND_QUERIES + (DRIFT_AND_QUERIES if shape == "drift" else [])
+    if phrase_only:
+        and_qs = PHRASE_QUERIES
+    else:
+        and_qs = AND_QUERIES + (
+            DRIFT_AND_QUERIES if shape == "drift" else []
+        )
     for q in and_qs:
         s = forced.and_pruning_stats(q, 10)
         key = lambda rs: [(r["doc_id"], round(r["score"], 9)) for r in rs]  # noqa: E731
@@ -192,6 +213,8 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "replicate": replicate,
                 "shape": shape,
+                "mode": mode or "full",
+                "with_positions": phrase_only,
                 "n_docs": n_docs,
                 "build_sec": round(build_s, 1),
                 "k": 10,
