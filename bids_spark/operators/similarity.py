@@ -72,13 +72,20 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
-# Above this many bits×dim literal nodes the column-math signature
-# (one per-element literal per hyperplane coefficient) becomes a
-# Catalyst plan-size hazard — the same expression-size class as the
-# IVF when-chain bug (IvfAnnIndex._nearest_cell docstring).  32 bits
-# at the fixture's dim 64 stays column math; transformer dims
-# (768–4096) dispatch to one Arrow-batched matmul per batch.
-VECTORIZE_SIG_NODES_ABOVE = 4096
+# Above this many bits×dim literal nodes lsh_signatures dispatches to
+# the Arrow-batched matmul path.  Default 0 = matmul always: measured
+# (tools/sig_bench.py, BENCH/BASELINE.md "LSH signature paths") the
+# column path loses at EVERY size — it pays 1.3–2 s of plan
+# construction/compile per query even at 256 literal nodes, and its
+# per-row cost is ~10× the matmul's (32 Catalyst expression evals per
+# row vs one BLAS call per Arrow batch: ~9.2 vs ~0.9 µs/row at dim
+# 64).  At transformer dims (24,576 nodes at 32×768) the column path
+# is additionally a Catalyst plan-size hazard — the same
+# expression-size class as the IVF when-chain bug
+# (IvfAnnIndex._nearest_cell docstring).  The column twin stays as the
+# JVM-pure executable spec, bit-for-bit parity-tested; raise this knob
+# to force it (tests/bench do).
+VECTORIZE_SIG_NODES_ABOVE = 0
 
 
 def _lsh_signatures_vectorized(
@@ -104,17 +111,15 @@ def _lsh_signatures_vectorized(
     )
 
 
-def lsh_signatures(
-    emb: DataFrame, dim: int, bits: int = 32, seed: int = 42,
-    id_col="vec_id", vec_col="embedding",
+def _lsh_signatures_column(
+    emb: DataFrame, planes: np.ndarray, id_col: str, vec_col: str
 ) -> DataFrame:
-    """(vec_id, sig bigint) — sign bits vs seeded random hyperplanes:
-    column math (one dot product per bit, JVM-side) while the literal
-    count stays small, Arrow-batched matmul above
-    VECTORIZE_SIG_NODES_ABOVE (transformer dims)."""
-    planes = _hyperplanes(dim, bits, seed)
-    if bits * dim > VECTORIZE_SIG_NODES_ABOVE:
-        return _lsh_signatures_vectorized(emb, planes, id_col, vec_col)
+    """The JVM-pure column-math twin: one dot product per bit as
+    Catalyst expressions over per-coefficient literals.  Kept as the
+    executable spec of the sign/bit-pack rule (bit-for-bit parity with
+    the matmul path is tested) — measured slower at every size, see
+    VECTORIZE_SIG_NODES_ABOVE."""
+    bits = planes.shape[0]
     sig = F.lit(0).cast("long")
     for i in range(bits):
         plane = F.array(*[F.lit(float(x)) for x in planes[i]])
@@ -122,6 +127,21 @@ def lsh_signatures(
             _dot(F.col(vec_col), plane) > 0, F.lit(1 << i).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return emb.select(F.col(id_col).alias("vec_id"), sig.alias("sig"))
+
+
+def lsh_signatures(
+    emb: DataFrame, dim: int, bits: int = 32, seed: int = 42,
+    id_col="vec_id", vec_col="embedding",
+) -> DataFrame:
+    """(vec_id, sig bigint) — sign bits vs seeded random hyperplanes.
+    Arrow-batched matmul by default (one (batch×dim)@(dim×bits) BLAS
+    call per batch); the JVM column-math twin serves when bits×dim ≤
+    VECTORIZE_SIG_NODES_ABOVE (0 by default — see the measured
+    rationale at that knob)."""
+    planes = _hyperplanes(dim, bits, seed)
+    if bits * dim > VECTORIZE_SIG_NODES_ABOVE:
+        return _lsh_signatures_vectorized(emb, planes, id_col, vec_col)
+    return _lsh_signatures_column(emb, planes, id_col, vec_col)
 
 
 def lsh_ann_topk(

@@ -309,16 +309,19 @@ def test_ivf_cell_assignment_parity_and_vectorized_build(spark, emb, tmp_path):
 
 
 def test_lsh_signature_vectorized_parity(emb):
-    """The Arrow-batched matmul signature must agree bit-for-bit with
-    the column-math signature at the fixture dim (where both paths
-    run), and the dispatch must route transformer dims to the matmul
-    path — the bits×dim literal expression is the same Catalyst
-    plan-size hazard class as the IVF when-chain bug."""
+    """The Arrow-batched matmul signature (the default — measured
+    faster at every size, see VECTORIZE_SIG_NODES_ABOVE) must agree
+    bit-for-bit with the JVM column-math twin at the fixture dim, and
+    the dispatch must route transformer dims to the matmul path — the
+    bits×dim literal expression is the same Catalyst plan-size hazard
+    class as the IVF when-chain bug."""
     dim = len(emb.first()["embedding"])
     planes = sim._hyperplanes(dim, 32, 42)
     col = {
         r["vec_id"]: r["sig"]
-        for r in sim.lsh_signatures(emb, dim, 32, 42).collect()
+        for r in sim._lsh_signatures_column(
+            emb, planes, "vec_id", "embedding"
+        ).collect()
     }
     vec = {
         r["vec_id"]: r["sig"]
