@@ -16,6 +16,14 @@ while [ "$draws" -lt "$MAX_DRAWS" ]; do
   echo "=== $ts" >> "$WATCH"; echo "$probe" >> "$WATCH"
   ceil=$(echo "$probe" | python -c "import sys,json;print(json.load(sys.stdin)['hardware_ceiling'])" 2>/dev/null || echo 0)
   ok=$(python -c "print(1 if float('$ceil' or 0) >= 0.85 else 0)")
+  # self-pollution guard: the builder session touches this sentinel
+  # while running its own heavy Spark work (pytest, benches) — a draw
+  # triggered then would measure the session's load, not the box
+  # (draws 5 and 6 were both aborted for exactly this).
+  if [ -e /tmp/bids_heavy.lock ]; then
+    echo "=== $ts heavy-work lock present, not triggering" >> "$WATCH"
+    ok=0
+  fi
   if [ "$ok" = "1" ]; then
     draws=$((draws+1))
     {
