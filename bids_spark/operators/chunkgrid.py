@@ -10,6 +10,8 @@ geometry lives here, imported by both sides.
 
 from __future__ import annotations
 
+import numpy as np
+
 # Grid cap: the filter expression embeds one OM_MAX_CHUNKS-entry
 # literal array per term (~128 KB each in the task binary) — O(1) in
 # corpus size.  Finer grids align the bound to finer vocabulary drift;
@@ -42,3 +44,26 @@ def chunk_grid(lo: int, hi: int,
     n = min(max_chunks, max(1, span // min_chunk_docs))
     width = -(-span // n)  # ceil
     return lo, width, -(-span // width)
+
+
+def fill_max(out: np.ndarray, dst_lo: int, dst_width: int,
+             d_lo: int, d_hi: int, v: float) -> None:
+    """Max-merge value ``v`` into every chunk of ``out`` (a dense
+    per-chunk array on grid ``(dst_lo, dst_width)``) whose doc interval
+    overlaps ``[d_lo, d_hi]``, clamped to the grid.
+
+    This is the conservative cross-grid projection used when a
+    segment's per-term chunk-max sidecar (built on the SEGMENT's grid)
+    is served under a segmented engine's UNION grid: a value lands in
+    every destination chunk its source interval touches, so a
+    projected array is ≥ the exact one elementwise — sound for upper
+    bounds and for the cm>0 presence test (it can only widen them)."""
+    n = len(out)
+    if n == 0 or d_hi < d_lo:
+        return
+    a = max(0, min(n - 1, (d_lo - dst_lo) // dst_width))
+    b = max(0, min(n - 1, (d_hi - dst_lo) // dst_width))
+    if a > b:
+        return
+    s = slice(a, b + 1)
+    np.maximum(out[s], v, out=out[s])

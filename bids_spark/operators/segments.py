@@ -43,10 +43,12 @@ from __future__ import annotations
 import os
 import re
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bids_spark.io import CommitLog, ParquetTableIO, PosixRenameLog, TableIO
+from bids_spark.operators import chunkgrid
 from bids_spark.operators.blocked_index import BlockedIndex
 from bids_spark.operators.wand import BlockedSearchEngine
 
@@ -640,6 +642,11 @@ class SegmentedSearchEngine(BlockedSearchEngine):
         # own global idf and the fixed segment set
         self._cm_memo = {} if cache else None
         self._domain_cache: tuple[int, int] | None = None
+        # per-(term, segment) dictionary idf, stashed by _term_meta —
+        # the cm-sidecar rescale factors need it (same ratio as
+        # _term_blocks applies to block_max_score)
+        self._seg_idf: dict[tuple[str, int], float] = {}
+        self._seg_cm_cache: list[dict | None] | None = None
         if cache:
             self._seg_blocks = [b.cache() for b in self._seg_blocks]
             self._seg_tdicts = [t.cache() for t in self._seg_tdicts]
@@ -648,12 +655,15 @@ class SegmentedSearchEngine(BlockedSearchEngine):
         self.blocks = None
         self.tdict = None
 
-    # The chunk-max sidecar is PER SEGMENT with raw (unrescaled) block
-    # maxima; this engine's bounds need idf-rescaled maxima over the
-    # segment UNION.  Segments that share the union's doc domain (e.g.
-    # an even/odd doc split) would pass the parent's grid check and
-    # silently serve one segment's raw arrays — so the sidecar is hard
-    # OFF here and cm aggregates from the rescaled union every time.
+    # The PARENT's sidecar mechanism stays hard OFF: it reads ONE
+    # index's cm tables raw, and a segment sharing the union's doc
+    # domain (e.g. an even/odd doc split) would pass its grid check and
+    # silently serve one segment's unrescaled arrays.  The segmented
+    # engine instead serves per-segment sidecars through its own
+    # reader (_cm_arrays override below): each segment's raw maxima
+    # are rescaled by the same per-(term, segment) factor
+    # _term_blocks applies and conservatively projected from the
+    # segment's grid onto the union grid.
     CM_SIDECAR = False
 
     # -- global metadata ------------------------------------------------------
@@ -714,6 +724,7 @@ class SegmentedSearchEngine(BlockedSearchEngine):
                 m = seg.get(t)
                 if not m:
                     continue
+                self._seg_idf[(t, i)] = float(m["idf"])
                 r = idf_g[t] / float(m["idf"]) if m["idf"] else 0.0
                 # avgdl correction: per-doc global/segment score ratio
                 # lies strictly in (min(1,a), max(1,a)), a = avgdl_g/avgdl_s
@@ -734,8 +745,15 @@ class SegmentedSearchEngine(BlockedSearchEngine):
     # -- blocks view with global idf / rescaled bounds ------------------------
 
     def _term_blocks(self, terms: list[str]) -> DataFrame:
+        return self._union_term_blocks(terms, range(len(self._seg_blocks)))
+
+    def _union_term_blocks(self, terms: list[str], idxs) -> DataFrame:
+        """Rescaled blocks view over a SUBSET of segments — the full
+        union for queries, the sidecar-less subset for _cm_arrays'
+        fallback aggregation."""
         meta = self._term_meta(terms)
-        if not meta:
+        idxs = list(idxs)
+        if not meta or not idxs:
             # empty but schema-correct frame
             base = self._seg_blocks[0]
             return base.filter(F.lit(False))
@@ -745,7 +763,8 @@ class SegmentedSearchEngine(BlockedSearchEngine):
             )
         )
         parts = []
-        for i, blocks in enumerate(self._seg_blocks):
+        for i in idxs:
+            blocks = self._seg_blocks[i]
             tb = self._bucket_filter(blocks, terms).filter(
                 F.col("term").isin(terms)
             )
@@ -800,6 +819,148 @@ class SegmentedSearchEngine(BlockedSearchEngine):
 
     def _has_deletes(self) -> bool:
         return self._tomb is not None
+
+    # -- per-segment chunk-max sidecars ---------------------------------------
+
+    def _seg_cm_meta(self) -> list[dict | None]:
+        """Per-segment cm-stage manifest entries (grid + wide_rows),
+        None where a segment lacks a compatible sidecar.  Cached — the
+        segment set is fixed per engine instance."""
+        if self._seg_cm_cache is None:
+            out: list[dict | None] = []
+            for s in self.segs:
+                try:
+                    st = s._manifest()["stages"]["cm"]
+                    out.append(st if "wide_rows" in st else None)
+                except (KeyError, FileNotFoundError):
+                    out.append(None)
+            self._seg_cm_cache = out
+        return self._seg_cm_cache
+
+    def _cm_factor(self, t: str, i: int,
+                   meta: dict[str, dict]) -> float | None:
+        """Rescale factor for segment i's raw chunk maxima of term t —
+        the same idf ratio × avgdl upper correction _term_blocks
+        applies to block_max_score, with one extra one-sided ulp guard
+        covering the association difference (here the factor is formed
+        BEFORE multiplying the stored maximum; Spark multiplies the
+        ratio in first).  None when the term is absent from the
+        segment (no dictionary row → no cm rows either)."""
+        idf_s = self._seg_idf.get((t, i))
+        m = meta.get(t)
+        if not idf_s or m is None:
+            return None
+        a_up = max(1.0, self.avgdl / self._seg_avgdl[i])
+        return float(m["idf"]) / idf_s * a_up * _UP * _UP
+
+    def _cm_arrays(self, tb: DataFrame, terms: list[str]) -> dict[str, np.ndarray]:
+        """Per-term chunk-max arrays on the UNION grid under GLOBAL
+        idf (consumed by the aligned OR bound and the AND/phrase
+        intersection bitmaps — wand.py Phase 3).
+
+        Segments carrying a build-time cm sidecar serve from ONE
+        unioned bucket+term-pruned scan of ≤ n_chunks rows/term each —
+        CONSTANT in corpus size — with each raw maximum rescaled by
+        the per-(term, segment) factor above and conservatively
+        projected from the segment's own grid onto the union grid
+        (chunkgrid.fill_max: projection only ever widens an upper
+        bound / presence test, so pruning stays exact).  Segments
+        without a sidecar (fresh micro-batches below
+        CM_BUILD_MIN_BLOCKS) fall back to the parent-style metadata
+        aggregation over THEIR rescaled blocks only — small by
+        construction.  At web scale the compacted bulk (which
+        compact()'s build() gives sidecars automatically) serves O(1)
+        rows per term and only the fresh tail pays an aggregation
+        whose input is one micro-batch's metadata."""
+        lo, width, n = self._chunk_grid()
+        missing = (
+            terms
+            if self._cm_memo is None
+            else [t for t in terms if t not in self._cm_memo]
+        )
+        built: dict[str, np.ndarray] = {}
+        if missing:
+            meta = self._term_meta(missing)  # also stashes _seg_idf
+            built = {t: np.zeros(n) for t in missing}
+            cm_meta = self._seg_cm_meta()
+            side_idx = [i for i, st in enumerate(cm_meta) if st is not None]
+            agg_idx = [i for i, st in enumerate(cm_meta) if st is None]
+
+            def read(stage: str, cols: list[str], idxs: list[int]):
+                parts = []
+                for i in idxs:
+                    parts.append(
+                        self._bucket_filter(
+                            self.segs[i].io.read(self.spark, stage), missing
+                        )
+                        .filter(F.col("term").isin(missing))
+                        .select(*cols)
+                        .withColumn("_seg", F.lit(i))
+                    )
+                u = parts[0]
+                for p in parts[1:]:
+                    u = u.unionByName(p)
+                return u.collect()
+
+            if side_idx:
+                for r in read("cm", ["term", "c", "m"], side_idx):
+                    i = r["_seg"]
+                    f = self._cm_factor(r["term"], i, meta)
+                    if f is None:
+                        continue
+                    st = cm_meta[i]
+                    s_lo, s_w = int(st["lo"]), int(st["width"])
+                    d_lo = s_lo + int(r["c"]) * s_w
+                    chunkgrid.fill_max(
+                        built[r["term"]], lo, width,
+                        d_lo, d_lo + s_w - 1, float(r["m"]) * f,
+                    )
+                wide_idx = [
+                    i for i in side_idx
+                    if int(cm_meta[i].get("wide_rows") or 0)
+                ]
+                if wide_idx:
+                    for r in read(
+                        "cm_wide", ["term", "c1", "c2", "m"], wide_idx
+                    ):
+                        i = r["_seg"]
+                        f = self._cm_factor(r["term"], i, meta)
+                        if f is None:
+                            continue
+                        st = cm_meta[i]
+                        s_lo, s_w = int(st["lo"]), int(st["width"])
+                        chunkgrid.fill_max(
+                            built[r["term"]], lo, width,
+                            s_lo + int(r["c1"]) * s_w,
+                            s_lo + (int(r["c2"]) + 1) * s_w - 1,
+                            float(r["m"]) * f,
+                        )
+            if agg_idx:
+                tb2 = self._union_term_blocks(missing, agg_idx)
+                rows = (
+                    tb2.select(
+                        "term",
+                        "block_max_score",
+                        F.explode(
+                            F.sequence(
+                                self._chunk_expr(F.col("first_doc"), lo, width),
+                                self._chunk_expr(F.col("max_doc"), lo, width),
+                            )
+                        ).alias("c"),
+                    )
+                    .groupBy("term", "c")
+                    .agg(F.max("block_max_score").alias("m"))
+                    .collect()
+                )
+                for r in rows:
+                    a = built[r["term"]]
+                    c = int(r["c"])
+                    a[c] = max(a[c], float(r["m"]))
+            if self._cm_memo is not None:
+                self._cm_memo.update(built)
+        return {
+            t: (built[t] if t in built else self._cm_memo[t]) for t in terms
+        }
 
     def _decode(self, blocks: DataFrame) -> DataFrame:
         """Tombstoned docs are dropped right after decode (before any

@@ -147,11 +147,13 @@ def test_auto_skips_stage_on_small_index(spark, drifted_wide, tmp_path):
     assert e._cm_sidecar() is None  # graceful fallback, no crash
 
 
-def test_segmented_engine_never_uses_sidecar(spark, drifted_wide, tmp_path):
-    """A segmented engine's bounds need idf-RESCALED maxima over the
-    segment union; an even/odd doc split shares the union's domain and
-    would pass the grid check — the class must hard-disable the
-    sidecar even when its segments carry cm stages."""
+def test_segmented_parent_sidecar_mechanism_off(spark, drifted_wide, tmp_path):
+    """The PARENT's single-index sidecar reader must stay hard-off for
+    segmented engines: it serves RAW maxima, and an even/odd doc split
+    shares the union's domain so it would pass the grid check and
+    silently skip the idf rescale.  The segmented engine serves
+    per-segment sidecars through its own reader instead (next tests);
+    this guards the hazardous path staying closed."""
     from bids_spark.operators.segments import SegmentedIndex, SegmentedSearchEngine
 
     assert SegmentedSearchEngine.CM_SIDECAR is False
@@ -167,7 +169,9 @@ def test_segmented_engine_never_uses_sidecar(spark, drifted_wide, tmp_path):
     seng = si.engine(spark)
     seng.OM_MIN_BLOCKS = 0
     assert seng._cm_sidecar() is None
-    # and the aggregated (rescaled-union) bounds stay exact
+    # the even/odd split is the aliasing worst case for the per-segment
+    # reader too (both segment grids ≈ the union grid): bounds must
+    # stay exact through the rescale + projection
     from bids_spark.plans.planner import SearchEngine
 
     naive = SearchEngine.from_documents(drifted_wide, cache=False)
@@ -177,3 +181,111 @@ def test_segmented_engine_never_uses_sidecar(spark, drifted_wide, tmp_path):
         b = [(r["doc_id"], round(r["score"], 9))
              for r in naive.search(q, 10).collect()]
         assert a == b
+
+
+@pytest.fixture(scope="module")
+def seg_banded(spark, drifted_wide, tmp_path_factory):
+    """Two band-split segments (disjoint doc ranges, like streaming
+    ingest), BOTH with cm sidecars, plus the naive oracle engine."""
+    from bids_spark.operators.segments import SegmentedIndex
+    from bids_spark.plans.planner import SearchEngine
+
+    si = SegmentedIndex(str(tmp_path_factory.mktemp("segcm") / "root"))
+    si.add_segment(
+        drifted_wide.filter(F.col("doc_id") < 40_000_000),
+        fingerprint="lo", n_partitions=4, cm_sidecar=True,
+    )
+    si.add_segment(
+        drifted_wide.filter(F.col("doc_id") >= 40_000_000),
+        fingerprint="hi", n_partitions=4, cm_sidecar=True,
+    )
+    naive = SearchEngine.from_documents(drifted_wide, cache=False)
+    return si, naive
+
+
+def _seg_engine(spark, si, use_sidecars: bool):
+    e = si.engine(spark)
+    e.OM_MIN_BLOCKS = 0
+    if not use_sidecars:
+        # force the fallback aggregation path for every segment
+        e._seg_cm_cache = [None] * len(e.segs)
+    return e
+
+
+def test_segmented_cm_arrays_sound_vs_aggregation(spark, seg_banded):
+    """Sidecar-served arrays must dominate the aggregation-served ones
+    elementwise (the cross-grid projection and the extra ulp guard only
+    ever widen an upper bound) while staying within guard tolerance
+    where the grids align — never BELOW, which would be an unsound
+    bound."""
+    si, _ = seg_banded
+    side = _seg_engine(spark, si, use_sidecars=True)
+    agg = _seg_engine(spark, si, use_sidecars=False)
+    terms = ["data", "t1x", "t3x", "rwide"]
+    a = side._cm_arrays(side._term_blocks(terms), terms)
+    b = agg._cm_arrays(agg._term_blocks(terms), terms)
+    for t in terms:
+        assert a[t].shape == b[t].shape
+        # sound: sidecar ≥ aggregation everywhere (up to fp noise)
+        assert (a[t] >= b[t] * (1 - 1e-12)).all(), t
+        # tight: a segment chunk is narrower than a union chunk here,
+        # so projection reaches at most one neighbouring union chunk —
+        # every sidecar value is bounded by the exact max over the
+        # chunk and its immediate neighbours (up to the stacked
+        # one-sided guards)
+        exact = b[t]
+        neigh = np.maximum(
+            exact,
+            np.maximum(
+                np.concatenate(([0.0], exact[:-1])),
+                np.concatenate((exact[1:], [0.0])),
+            ),
+        )
+        assert (a[t] <= neigh * (1 + 1e-9) + 1e-300).all(), t
+
+
+def test_segmented_sidecar_rank_identity(spark, seg_banded):
+    """Search through the per-segment sidecar path must stay rank- and
+    score-identical to the naive oracle engine on the union — OR with
+    the aligned bound engaged, AND with the intersection bitmap, and a
+    phrase through the restricted positions path."""
+    si, naive = seg_banded
+    side = _seg_engine(spark, si, use_sidecars=True)
+    assert all(st is not None for st in side._seg_cm_meta())
+    for q in ("data t1x", "t0x t3y", "the data", "data AND t1x",
+              '"data t1x"'):
+        a = [(r["doc_id"], round(r["score"], 9))
+             for r in side.search(q, 10).collect()]
+        b = [(r["doc_id"], round(r["score"], 9))
+             for r in naive.search(q, 10).collect()]
+        assert a == b, q
+
+
+def test_segmented_mixed_sidecar_and_fresh(spark, drifted_wide, tmp_path):
+    """The web-scale serving shape: a compacted bulk segment WITH a
+    sidecar plus a fresh micro-batch segment without one.  The reader
+    must serve the bulk from its sidecar, aggregate only the fresh
+    segment's metadata, and stay exact."""
+    from bids_spark.operators.segments import SegmentedIndex
+    from bids_spark.plans.planner import SearchEngine
+
+    si = SegmentedIndex(str(tmp_path / "segmix"))
+    si.add_segment(
+        drifted_wide.filter(F.col("doc_id") < 60_000_000),
+        fingerprint="bulk", n_partitions=4, cm_sidecar=True,
+    )
+    si.add_segment(
+        drifted_wide.filter(F.col("doc_id") >= 60_000_000),
+        fingerprint="fresh", n_partitions=4,  # auto: below threshold, no cm
+    )
+    e = si.engine(spark)
+    e.OM_MIN_BLOCKS = 0
+    metas = e._seg_cm_meta()
+    assert metas[0] is not None and metas[1] is None
+    naive = SearchEngine.from_documents(drifted_wide, cache=False)
+    for q in ("data t1x", "data AND t3x"):
+        a = [(r["doc_id"], round(r["score"], 9))
+             for r in e.search(q, 10).collect()]
+        b = [(r["doc_id"], round(r["score"], 9))
+             for r in naive.search(q, 10).collect()]
+        assert a == b, q
