@@ -647,6 +647,7 @@ class SegmentedSearchEngine(BlockedSearchEngine):
         # _term_blocks applies to block_max_score)
         self._seg_idf: dict[tuple[str, int], float] = {}
         self._seg_cm_cache: list[dict | None] | None = None
+        self._cm_last_path: str | None = None
         if cache:
             self._seg_blocks = [b.cache() for b in self._seg_blocks]
             self._seg_tdicts = [t.cache() for t in self._seg_tdicts]
@@ -853,6 +854,16 @@ class SegmentedSearchEngine(BlockedSearchEngine):
         a_up = max(1.0, self.avgdl / self._seg_avgdl[i])
         return float(m["idf"]) / idf_s * a_up * _UP * _UP
 
+    # Below this many candidate blocks (Σ n_blocks over the query
+    # terms, global across segments) the rescaled-union aggregation
+    # serves the cm arrays even when sidecars exist: measured at 3M
+    # docs (BENCH/seg_cm_bench_r4.log) the aggregation is marginally
+    # faster while its input is small — the sidecar read pays fixed
+    # per-stage scan setup across segments.  Above it the aggregation
+    # input keeps growing with the corpus while the sidecar read stays
+    # ≤ n_chunks rows/term/segment regardless of scale.
+    SEG_CM_AGG_BELOW = 1 << 17
+
     def _cm_arrays(self, tb: DataFrame, terms: list[str]) -> dict[str, np.ndarray]:
         """Per-term chunk-max arrays on the UNION grid under GLOBAL
         idf (consumed by the aligned OR bound and the AND/phrase
@@ -883,8 +894,20 @@ class SegmentedSearchEngine(BlockedSearchEngine):
             meta = self._term_meta(missing)  # also stashes _seg_idf
             built = {t: np.zeros(n) for t in missing}
             cm_meta = self._seg_cm_meta()
+            n_cand = sum(
+                int(meta.get(t, {}).get("n_blocks") or 0) for t in missing
+            )
+            if n_cand < self.SEG_CM_AGG_BELOW:
+                # small candidate set: the aggregation's input is still
+                # tiny — skip the sidecar scans (measured dispatch, see
+                # SEG_CM_AGG_BELOW)
+                cm_meta = [None] * len(cm_meta)
             side_idx = [i for i, st in enumerate(cm_meta) if st is not None]
             agg_idx = [i for i, st in enumerate(cm_meta) if st is None]
+            self._cm_last_path = (
+                "aggregation" if not side_idx
+                else ("sidecar" if not agg_idx else "mixed")
+            )
 
             def read(stage: str, cols: list[str], idxs: list[int]):
                 parts = []

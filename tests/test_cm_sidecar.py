@@ -206,7 +206,11 @@ def seg_banded(spark, drifted_wide, tmp_path_factory):
 def _seg_engine(spark, si, use_sidecars: bool):
     e = si.engine(spark)
     e.OM_MIN_BLOCKS = 0
-    if not use_sidecars:
+    if use_sidecars:
+        # the measured size dispatch would pick aggregation at test
+        # scale — force the sidecar path so it is what gets exercised
+        e.SEG_CM_AGG_BELOW = 0
+    else:
         # force the fallback aggregation path for every segment
         e._seg_cm_cache = [None] * len(e.segs)
     return e
@@ -280,6 +284,7 @@ def test_segmented_mixed_sidecar_and_fresh(spark, drifted_wide, tmp_path):
     )
     e = si.engine(spark)
     e.OM_MIN_BLOCKS = 0
+    e.SEG_CM_AGG_BELOW = 0
     metas = e._seg_cm_meta()
     assert metas[0] is not None and metas[1] is None
     naive = SearchEngine.from_documents(drifted_wide, cache=False)
@@ -289,3 +294,21 @@ def test_segmented_mixed_sidecar_and_fresh(spark, drifted_wide, tmp_path):
         b = [(r["doc_id"], round(r["score"], 9))
              for r in naive.search(q, 10).collect()]
         assert a == b, q
+    assert e._cm_last_path == "mixed"
+
+
+def test_segmented_cm_size_dispatch(spark, seg_banded):
+    """Below SEG_CM_AGG_BELOW candidate blocks the engine serves cm
+    from the aggregation even when every segment carries a sidecar
+    (measured at 3M docs the aggregation is faster while its input is
+    tiny — BENCH/seg_cm_bench_r4.log); zeroing the threshold routes
+    through the sidecars."""
+    si, _ = seg_banded
+    terms = ["data", "t1x"]
+    auto = si.engine(spark)
+    auto.OM_MIN_BLOCKS = 0
+    auto._cm_arrays(auto._term_blocks(terms), terms)
+    assert auto._cm_last_path == "aggregation"
+    forced = _seg_engine(spark, si, use_sidecars=True)
+    forced._cm_arrays(forced._term_blocks(terms), terms)
+    assert forced._cm_last_path == "sidecar"

@@ -41,7 +41,9 @@ QUERY = "data t3x"
 def cold_engine(si, spark, use_sidecars: bool):
     e = si.engine(spark)
     e.OM_MIN_BLOCKS = 0
-    if not use_sidecars:
+    if use_sidecars:
+        e.SEG_CM_AGG_BELOW = 0  # bypass the size dispatch: force sidecars
+    else:
         e._seg_cm_cache = [None] * len(e.segs)
     return e
 
