@@ -21,10 +21,25 @@ brute force in pytest (approximate ≠ oracle-matchable).
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _arr_lit(vals):
+    """Constant-folded array<double> literal from one json STRING
+    literal.  `F.array(*[F.lit(x) ...])` crosses py4j once PER ELEMENT
+    (~0.5 ms each of pure driver time — the hazard the aligned bound
+    hit at 16k doubles, wand.py Phase 3 note), so a dim-4096 query
+    vector would cost ~2 s per query before any Spark work; the json
+    form ships one string and ConstantFolding evaluates it JVM-side.
+    json round-trips float64 exactly (shortest repr)."""
+    return F.from_json(
+        F.lit(json.dumps([float(x) for x in vals])), "array<double>"
+    )
 
 
 def _dot(a, b):
@@ -50,7 +65,7 @@ def cosine_topk(
     vec_col="embedding",
 ) -> DataFrame:
     """(rank, vec_id, cos) exact top-k by cosine vs a literal query."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _arr_lit(query_vec)
     qn = float(np.sqrt(np.dot(query_vec, query_vec)))
     cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
     scored = emb.select(F.col(id_col).alias("vec_id"), cos.alias("cos"))
@@ -122,7 +137,7 @@ def _lsh_signatures_column(
     bits = planes.shape[0]
     sig = F.lit(0).cast("long")
     for i in range(bits):
-        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        plane = _arr_lit(planes[i])
         sig = sig + F.when(
             _dot(F.col(vec_col), plane) > 0, F.lit(1 << i).cast("long")
         ).otherwise(F.lit(0).cast("long"))
@@ -344,7 +359,7 @@ class IvfAnnIndex:
         normed = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
         cos_arr = F.array(
             *[
-                _dot(vec_col, F.array(*[F.lit(float(x)) for x in normed[ci]]))
+                _dot(vec_col, _arr_lit(normed[ci]))
                 for ci in range(normed.shape[0])
             ]
         )
