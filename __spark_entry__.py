@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or_compacted": C.q_bm25_or_compacted,
         # probe-θ pruning mode (the cluster-scale default) — same oracle
         "bm25_or_probe": C.q_bm25_or_probe,
+        # batched serving: five query shapes in ONE Spark action
+        "bm25_batch": C.q_bm25_batch,
         # training-pipeline operators
         "token_count": C.q_token_count,
         "token_count_bpe": C.q_token_count_bpe,
@@ -128,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
             should=["merge", "join"], docs_where="NOT (doc_id % 7 = 0)"
         ),
         "bm25_or_probe": C.bm25_topk_sql(should=["merge", "join"]),
+        "bm25_batch": C.bm25_batch_sql(),
         # token_count_bpe: no oracle — the BPE merge loop is not
         # SQL-expressible; golden-pinned in tests/test_bpe.py
         "token_count": C.SQL_TOKEN_COUNT,

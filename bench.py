@@ -87,6 +87,18 @@ def main() -> None:
         p50 = all_lat[len(all_lat) // 2]
         p99 = all_lat[min(len(all_lat) - 1, int(len(all_lat) * 0.99))]
 
+        # batched serving: the SAME query set in ONE Spark action
+        # (wand.search_many) — kept OUT of `timings` so `total` stays
+        # comparable round-over-round; reported as its own section
+        batch_lats = []
+        for _ in range(QUERY_ITERS):
+            t0 = time.time()
+            beng.search_many(BLOCKED_QUERIES, 10).collect()
+            batch_lats.append(time.time() - t0)
+        batch_lats.sort()
+        batch_p50 = batch_lats[len(batch_lats) // 2]
+        seq_sum = sum(timings[n] for n in BLOCKED_QUERIES)
+
         total = sum(timings.values())
         print(
             json.dumps(
@@ -100,6 +112,15 @@ def main() -> None:
                         "p50": round(p50, 3),
                         "p99": round(p99, 3),
                         "iters_per_query": QUERY_ITERS,
+                    },
+                    "batch": {
+                        "n_queries": len(BLOCKED_QUERIES),
+                        "wall_p50": round(batch_p50, 3),
+                        "sequential_p50_sum": round(seq_sum, 3),
+                        "speedup": round(seq_sum / batch_p50, 2),
+                        "queries_per_sec": round(
+                            len(BLOCKED_QUERIES) / batch_p50, 2
+                        ),
                     },
                     "throughput": {
                         "n_docs": n_docs,

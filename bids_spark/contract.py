@@ -300,6 +300,52 @@ def q_bm25_or_probe(spark, sf_dir):
     return _search_blocked(spark, sf_dir, "merge join", theta_mode="probe")
 
 
+# the batched-serving query set: one Spark action, five query shapes
+# (wand.py search_many — the distributed answer to tantivy's
+# in-process searcher loop, reference bids/index.py:155)
+_BATCH_SPECS: dict[str, dict] = {
+    "single": {"should": ["data"]},
+    "or2": {"should": ["merge", "join"]},
+    "or5": {"should": ["data", "merge", "join", "sort", "window"]},
+    "and2": {"must": ["merge", "join"]},
+    "not1": {"should": ["merge"], "must_not": ["join"]},
+}
+_BATCH_QUERY_STRINGS: dict[str, str] = {
+    "single": "data",
+    "or2": "merge join",
+    "or5": "data merge join sort window",
+    "and2": "merge AND join",
+    "not1": "merge -join",
+}
+
+
+def q_bm25_batch(spark, sf_dir):
+    """Five queries served by ONE search_many action over the blocked
+    index: the shared-decode OR branch (thr = per-term min threshold,
+    broadcast qid fan-out, per-qid θ filter + window rank) and the
+    tagged AND/NOT subplans all under the DuckDB oracle at once."""
+    from bids_spark.operators.wand import BlockedSearchEngine
+
+    eng = BlockedSearchEngine(spark, _blocked_index(spark, sf_dir))
+    return eng.search_many(_BATCH_QUERY_STRINGS, 10).select(
+        "qid",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def bm25_batch_sql(specs: dict[str, dict] | None = None, k: int = 10) -> str:
+    """UNION ALL of per-query bm25_topk_sql, each tagged with its qid —
+    the independent per-query semantics search_many must reproduce."""
+    specs = specs or _BATCH_SPECS
+    parts = [
+        f"SELECT '{qid}' AS qid, * FROM ({bm25_topk_sql(k=k, **kw)})"
+        for qid, kw in specs.items()
+    ]
+    return " UNION ALL ".join(parts)
+
+
 # every doc with doc_id % 7 == 0 is tombstoned in the "deleted"
 # segmented variant — a deterministic rule both sides can name (the
 # oracle filters candidates with the same predicate while its df/stats

@@ -1010,21 +1010,14 @@ class BlockedSearchEngine(BooleanEvaluator):
         out["combined"] = count(bm)
         return out
 
-    def search(
-        self,
-        query: str,
-        limit: int = 10,
-        prune: bool = True,
-        theta_mode: str = "dict",
-    ) -> DataFrame:
-        """(rank, doc_id, score) top-k; rank-identical to SearchEngine.
+    @staticmethod
+    def _classify(ast) -> tuple[bool, list[str], list[str], list[str]]:
+        """(flat, must, should, must_not) for a parsed query.
 
-        theta_mode: "dict" (default) takes θ from the term dictionary —
-        no probe job, 2 Spark jobs per query; "probe" additionally
-        decodes the top blocks per term for a tighter θ (fewer survivor
-        blocks) — right at cluster scale where decode I/O outweighs a
-        scheduling round-trip."""
-        ast = parse_query(query)
+        flat=True iff every clause is a bare Term and no clause term
+        repeats — the queries the single-scan fast paths serve; shared
+        by search() and search_many() so the two can't route the same
+        query differently."""
         must, should, must_not = [], [], []
         flat = True
         for node, bucket in (
@@ -1048,6 +1041,24 @@ class BlockedSearchEngine(BooleanEvaluator):
         if len(must) + len(should) != len(set(must) | set(should)) or \
                 len(must_not) != len(set(must_not)):
             flat = False
+        return flat, must, should, must_not
+
+    def search(
+        self,
+        query: str,
+        limit: int = 10,
+        prune: bool = True,
+        theta_mode: str = "dict",
+    ) -> DataFrame:
+        """(rank, doc_id, score) top-k; rank-identical to SearchEngine.
+
+        theta_mode: "dict" (default) takes θ from the term dictionary —
+        no probe job, 2 Spark jobs per query; "probe" additionally
+        decodes the top blocks per term for a tighter θ (fewer survivor
+        blocks) — right at cluster scale where decode I/O outweighs a
+        scheduling round-trip."""
+        ast = parse_query(query)
+        flat, must, should, must_not = self._classify(ast)
         if flat:
             if not must and not should:
                 matches = self._empty()
@@ -1066,4 +1077,186 @@ class BlockedSearchEngine(BooleanEvaluator):
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return matches.select(
             F.row_number().over(w).alias("rank"), "doc_id", "score"
+        )
+
+    # One-sided relief on the batched post-aggregation θ filter: a
+    # float64 sum of T nonnegative term scores sits within T·ulp of the
+    # real sum, so relaxing θ by 1e-12 relative (≈4000 ulp) guarantees
+    # no true top-k row is filtered; the only cost is a handful of
+    # extra sub-θ rows that the rank window cuts anyway.
+    _BATCH_THETA_RELIEF = 1.0 - 1e-12
+
+    def search_many(
+        self,
+        queries: dict[str, str],
+        limit: int = 10,
+        prune: bool = True,
+    ) -> DataFrame:
+        """(qid, rank, doc_id, score) for a BATCH of queries in ONE
+        Spark action — per qid rank- and score-identical to
+        ``search(q, limit)`` (parity property-tested on both engines).
+
+        Serving throughput at cluster scale is bound by per-query
+        driver↔cluster scheduling round-trips, not by decode work
+        (bench.py: the per-query p50 floor is job scheduling).  tantivy
+        amortizes nothing here because its searcher is in-process; a
+        distributed engine must batch instead (reference semantics per
+        query are unchanged: bids/index.py:155).
+
+        Flat pure-OR queries (the tantivy default shape, SURVEY §4.3)
+        share ONE decode:
+
+          * the union of their terms' blocks is scanned once, pruned by
+            a per-term threshold  thr(t) = min_{q ∋ t} (θ_q − gsum_q +
+            gmax(t))  — the loose Σ gmax bound of _or_pruned_survivors
+            rearranged per term and min-ed across the batch, shipped as
+            a tiny broadcast dim (term, thr).  A block dropped by thr
+            is dropped by EVERY batched query's own bound, so each
+            query's exactness argument (module docstring) applies
+            verbatim; a block kept for one query is decoded for all —
+            extra completeness, never missing contributions.  The
+            min() and the θ−gsum+gmax rearrangement are driver-side
+            float ops, so thr takes a one-sided 1e-12 down-guard
+            (keeping a razor-tie block is sound, dropping one is not).
+          * decoded postings fan out to their queries via a broadcast
+            (qid, term) map, then ONE groupBy(qid, doc_id) sum;
+          * rows with score < θ_q (broadcast per-qid dim, with
+            _BATCH_THETA_RELIEF) are dropped before ranking — θ_q
+            lower-bounds the k-th best total, so the per-qid window
+            sorts the near-top set, not every matching doc: at crawl
+            scale the window input is O(queries × near-top docs), not
+            O(queries × matches).
+
+        Other shapes (AND / NOT / nested / phrase) join the same action
+        as per-query subplans tagged with their qid — their stages
+        overlap inside the one job instead of paying a round-trip each.
+        With tombstones (segmented engine after deletes) the dictionary
+        θ is invalid (it counts deleted docs), so the shared branch
+        serves with θ=0 — no pruning, still exact, still one action.
+
+        Queries that match nothing simply contribute no rows for their
+        qid (same as search() returning an empty frame)."""
+        out_schema = "qid string, rank int, doc_id bigint, score double"
+        if not queries:
+            return self.spark.createDataFrame([], out_schema)
+        or_class: dict[str, list[str]] = {}
+        bool_class: dict[str, tuple[list[str], list[str], list[str]]] = {}
+        ast_class: dict[str, Bool] = {}
+        for qid, q in queries.items():
+            ast = parse_query(q)
+            flat, must, should, must_not = self._classify(ast)
+            if flat:
+                if not must and not should:
+                    continue  # matches nothing — no rows for this qid
+                if not must and not must_not and prune:
+                    or_class[qid] = should
+                else:
+                    bool_class[qid] = (must, should, must_not)
+            else:
+                ast_class[qid] = ast
+
+        branches: list[DataFrame] = []
+        if or_class:
+            all_terms = sorted({t for ts in or_class.values() for t in ts})
+            meta = self._term_meta(all_terms)  # one pruned scan, memoized
+            deletes = self._has_deletes()
+            mapping: list[tuple[str, str]] = []
+            qtheta: list[tuple[str, float]] = []
+            thr: dict[str, float] = {}
+            for qid, terms in or_class.items():
+                present = sorted({t for t in terms if t in meta})
+                if not present:
+                    continue
+                mapping.extend((qid, t) for t in present)
+                theta = 0.0
+                if not deletes:
+                    if limit <= 10:
+                        theta = max(
+                            float(meta[t]["s10"] or 0.0) for t in present
+                        )
+                    elif limit <= 100:
+                        theta = max(
+                            float(meta[t]["s100"] or 0.0) for t in present
+                        )
+                qtheta.append((qid, theta))
+                gsum = sum(float(meta[t]["gmax"]) for t in present)
+                for t in present:
+                    if theta > 0.0:
+                        # single-present-term queries reduce to bm ≥ θ
+                        # (gsum == gmax(t)) — same formula, no special
+                        # case needed
+                        cand = theta - gsum + float(meta[t]["gmax"])
+                        cand *= (
+                            self._BATCH_THETA_RELIEF
+                            if cand >= 0.0
+                            else 2.0 - self._BATCH_THETA_RELIEF
+                        )
+                    else:
+                        cand = float("-inf")
+                    thr[t] = min(thr.get(t, cand), cand)
+            if mapping:
+                thr_df = F.broadcast(
+                    self.spark.createDataFrame(
+                        list(thr.items()), "term string, _thr double"
+                    )
+                )
+                survivors = (
+                    self._term_blocks(sorted(thr))
+                    .join(thr_df, "term")
+                    .filter(F.col("block_max_score") >= F.col("_thr"))
+                    .drop("_thr")
+                )
+                qmap = F.broadcast(
+                    self.spark.createDataFrame(
+                        mapping, "qid string, term string"
+                    )
+                )
+                tdf = F.broadcast(
+                    self.spark.createDataFrame(
+                        qtheta, "qid string, _theta double"
+                    )
+                )
+                scored = (
+                    self._decode(survivors)
+                    .join(qmap, "term")
+                    .groupBy("qid", "doc_id")
+                    .agg(F.sum("score").alias("score"))
+                    .join(tdf, "qid")
+                    .filter(
+                        F.col("score")
+                        >= F.col("_theta") * F.lit(self._BATCH_THETA_RELIEF)
+                    )
+                    .select("qid", "doc_id", "score")
+                )
+                branches.append(scored)
+
+        for qid, (must, should, must_not) in bool_class.items():
+            if not must and not should:
+                continue
+            m = self._topk_bool(must, should, must_not, limit)
+            branches.append(
+                m.select(F.lit(qid).alias("qid"), "doc_id", "score")
+            )
+        for qid, ast in ast_class.items():
+            m = (
+                self._eval_bool(ast)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(limit)
+            )
+            branches.append(
+                m.select(F.lit(qid).alias("qid"), "doc_id", "score")
+            )
+
+        if not branches:
+            return self.spark.createDataFrame([], out_schema)
+        allm = branches[0]
+        for b in branches[1:]:
+            allm = allm.unionByName(b)
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            allm.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= limit)
+            .select("qid", "rank", "doc_id", "score")
         )
