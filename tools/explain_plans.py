@@ -81,6 +81,25 @@ def main() -> None:
             eng._topk_bool(["merge", "join"], [], [], 10),
         ),
         (
+            "Batched serving (search_many): one action, three shapes",
+            "Expect: ONE blocks scan for the union of the OR-class "
+            "queries' terms (PartitionFilters on bucket + "
+            "In(term…)), the per-term threshold dim and the "
+            "(qid, term) fan-out as BroadcastHashJoins (never "
+            "shuffles of the decoded postings), one HashAggregate "
+            "pair (partial+final) on (qid, doc_id), the per-qid θ "
+            "filter BEFORE the rank window, and qid-tagged subplans "
+            "for the non-OR shapes unioned under the same window — "
+            "a single collect schedules everything.  Bonus Spark "
+            "gives for free: WindowGroupLimit BELOW the qid exchange "
+            "— per-partition partial top-k, so the rank window never "
+            "fully sorts a qid's matches even before the θ filter.",
+            eng.search_many(
+                {"a": "merge join", "b": "data", "c": "merge AND join"},
+                10,
+            ),
+        ),
+        (
             "Naive postings build (C2): tokenize → explode → groupBy",
             "Expect: WholeStageCodegen around generate/aggregate, "
             "partial_count before the exchange (map-side combine).",
