@@ -314,6 +314,88 @@ def cmd_compact(spark: SparkSession) -> int:
     return 0
 
 
+def _resolve_engine(spark: SparkSession, docs):
+    """Pick the serving engine for the dataset, best format first."""
+    from bids_spark.operators.blocked_index import BlockedIndex
+    from bids_spark.operators.segments import SegmentedIndex
+
+    si = SegmentedIndex(_segments_path())
+    bi = BlockedIndex(_index_path())
+    if si.segment_paths():
+        # segmented dataset (--append/--delete-doc flow) takes priority:
+        # exact global BM25 over the committed segment set + tombstones
+        return si.engine(spark)
+    if bi.is_servable():
+        # serve from the prebuilt blocked index (the scale path).
+        # is_servable gates on the manifest recording blocks+terms done
+        # with the CURRENT format tag: an interrupted --index or an
+        # older-format directory falls back instead of crashing.
+        from bids_spark.operators.wand import BlockedSearchEngine
+
+        return BlockedSearchEngine(spark, bi)
+    # datasets imported from older archives / partial builds:
+    # score on the fly
+    from bids_spark.plans.planner import SearchEngine
+
+    return SearchEngine.from_documents(docs, cache=False)
+
+
+def cmd_search_file(spark: SparkSession, path: str, limit: int) -> int:
+    """Batched serving surface: one query per line of `path` (blank
+    lines and #-comments skipped), ALL evaluated in one Spark action
+    via search_many.  Prints each query's ranked ids in file order.
+
+    This is an ops surface with engine semantics (raw ranked results
+    per query), NOT the reference-mirrored page shaping — --search
+    keeps the over-fetch + content-dedup + pagination contract.  Exit
+    0 when any query matched, 2 when none did (same convention as the
+    single-query no-hit exit)."""
+    if not os.path.exists(_docs_path()):
+        print("No dataset — run --index first", file=sys.stderr)
+        return 1
+    with open(path) as f:
+        lines = [ln.strip() for ln in f]
+    queries = {
+        f"q{i}": ln
+        for i, ln in enumerate(lines, 1)
+        if ln and not ln.startswith("#")
+    }
+    if not queries:
+        print("No queries in file", file=sys.stderr)
+        return 1
+    docs = spark.read.parquet(_docs_path())
+    eng = _resolve_engine(spark, docs)
+    if hasattr(eng, "search_many"):
+        rows = eng.search_many(queries, limit).collect()
+    else:
+        # naive fallback engine (imported legacy archives): same output
+        # contract, per-query plans
+        rows = []
+        for qid, q in queries.items():
+            for r in eng.search(q, limit).collect():
+                rows.append(
+                    {"qid": qid, "rank": r["rank"],
+                     "doc_id": r["doc_id"], "score": r["score"]}
+                )
+    by_qid: dict[str, list] = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append(r)
+    any_hit = False
+    for qid, q in queries.items():  # file order (dicts preserve it)
+        print(f"## {q}")
+        hits = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        if not hits:
+            print("No results found")
+            continue
+        any_hit = True
+        for r in hits:
+            print(
+                f"{r['rank']}. Score: {r['score']:.4f} "
+                f"doc_id={r['doc_id']}"
+            )
+    return 0 if any_hit else 2
+
+
 def cmd_search(
     spark: SparkSession,
     query: str,
@@ -328,29 +410,7 @@ def cmd_search(
         return 1
     PAGE_SIZE = 10  # reference over-fetch (index.py:21,155-157)
     docs = spark.read.parquet(_docs_path())
-    from bids_spark.operators.blocked_index import BlockedIndex
-    from bids_spark.operators.segments import SegmentedIndex
-
-    si = SegmentedIndex(_segments_path())
-    bi = BlockedIndex(_index_path())
-    if si.segment_paths():
-        # segmented dataset (--append/--delete-doc flow) takes priority:
-        # exact global BM25 over the committed segment set + tombstones
-        eng = si.engine(spark)
-    elif bi.is_servable():
-        # serve from the prebuilt blocked index (the scale path).
-        # is_servable gates on the manifest recording blocks+terms done
-        # with the CURRENT format tag: an interrupted --index or an
-        # older-format directory falls back instead of crashing.
-        from bids_spark.operators.wand import BlockedSearchEngine
-
-        eng = BlockedSearchEngine(spark, bi)
-    else:
-        # datasets imported from older archives / partial builds:
-        # score on the fly
-        from bids_spark.plans.planner import SearchEngine
-
-        eng = SearchEngine.from_documents(docs, cache=False)
+    eng = _resolve_engine(spark, docs)
     # reference quirk kept verbatim: over-fetch limit+PAGE_SIZE, drop
     # results whose CONTENT equals an earlier (higher-ranked) result,
     # truncate to limit (index.py:151-181)
@@ -473,6 +533,12 @@ def main(argv: list[str] | None = None) -> int:
              "count reaches N (tantivy background-merge analogue)",
     )
     p.add_argument("--search", metavar="QUERY")
+    p.add_argument(
+        "--search-file", metavar="FILE",
+        help="batched serving: one query per line, all evaluated in a "
+             "single Spark action (search_many); prints ranked doc ids "
+             "per query — raw engine results, no content-dedup paging",
+    )
     p.add_argument("--results", type=int, default=10)
     p.add_argument(
         "--offset", type=int, default=0,
@@ -537,6 +603,9 @@ def main(argv: list[str] | None = None) -> int:
         if a.compact:
             spark = _get_spark(a.verbose)
             return cmd_compact(spark)
+        if a.search_file is not None:
+            spark = _get_spark(a.verbose)
+            return cmd_search_file(spark, a.search_file, a.results)
         if a.search is not None:
             spark = _get_spark(a.verbose)
             return cmd_search(

@@ -1139,6 +1139,11 @@ class BlockedSearchEngine(BooleanEvaluator):
         out_schema = "qid string, rank int, doc_id bigint, score double"
         if not queries:
             return self.spark.createDataFrame([], out_schema)
+        bad = [k for k in queries if not isinstance(k, str) or not k]
+        if bad:
+            raise ValueError(
+                f"search_many qids must be non-empty strings, got {bad!r}"
+            )
         or_class: dict[str, list[str]] = {}
         bool_class: dict[str, tuple[list[str], list[str], list[str]]] = {}
         ast_class: dict[str, Bool] = {}

@@ -147,6 +147,13 @@ def test_batch_parity_segmented_deleted(spark, drifted, tmp_path_factory):
         assert got.get(qid, []) == _seq(e, q, 10), (qid, q)
 
 
+def test_batch_rejects_bad_qids(eng):
+    with pytest.raises(ValueError, match="non-empty strings"):
+        eng.search_many({1: "data"}, 10)
+    with pytest.raises(ValueError, match="non-empty strings"):
+        eng.search_many({"": "data"}, 10)
+
+
 def test_batch_empty_inputs(eng):
     df = eng.search_many({}, 10)
     assert df.columns == ["qid", "rank", "doc_id", "score"]
