@@ -57,6 +57,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or_compacted": C.q_bm25_or_compacted,
         # probe-θ pruning mode (the cluster-scale default) — same oracle
         "bm25_or_probe": C.q_bm25_or_probe,
+        # query-grammar extensions the reference accepts through
+        # tantivy's QueryParser: boost, doc_id range, match-all
+        "bm25_boost": C.q_bm25_boost,
+        "bm25_range": C.q_bm25_range,
+        "match_all": C.q_match_all,
         # batched serving: five query shapes in ONE Spark action
         "bm25_batch": C.q_bm25_batch,
         # training-pipeline operators
@@ -130,6 +135,15 @@ def oracle_sql() -> dict[str, str]:
             should=["merge", "join"], docs_where="NOT (doc_id % 7 = 0)"
         ),
         "bm25_or_probe": C.bm25_topk_sql(should=["merge", "join"]),
+        "bm25_boost": C.bm25_topk_sql(
+            should=["data", "merge"], boosts={"data": 2.0}
+        ),
+        "bm25_range": C.bm25_topk_sql(
+            must=["data"],
+            score_plus=1.0,
+            range_pred="p.doc_id BETWEEN 100 AND 300",
+        ),
+        "match_all": C.SQL_MATCH_ALL,
         "bm25_batch": C.bm25_batch_sql(),
         # token_count_bpe: no oracle — the BPE merge loop is not
         # SQL-expressible; golden-pinned in tests/test_bpe.py

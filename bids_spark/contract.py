@@ -66,6 +66,9 @@ def bm25_topk_sql(
     k: int = 10,
     exclude_pred: str | None = None,
     docs_where: str | None = None,
+    boosts: dict[str, float] | None = None,
+    score_plus: float = 0.0,
+    range_pred: str | None = None,
 ) -> str:
     """DuckDB SQL mirroring SearchEngine's Bool evaluation for flat
     term queries (no nesting — enough for the committed query set).
@@ -79,7 +82,13 @@ def bm25_topk_sql(
     restricts the WHOLE corpus — df / n_docs / avgdl are recomputed
     over the survivors (post-compaction semantics: compact() PURGES
     tombstoned rows and recomputes stats, unlike the pre-merge
-    exclude_pred view)."""
+    exclude_pred view).
+
+    boosts: per-term score multipliers (`term^2`, tantivy BoostQuery).
+    score_plus: constant added to every matching doc's score (a
+    must-Range/All clause contributes 1.0 × its boost).
+    range_pred: SQL predicate over p.doc_id restricting matches to a
+    must-range (`doc_id:[lo TO hi]`)."""
     should, must, must_not = should or [], must or [], must_not or []
     pos_terms = must + should
     assert pos_terms, "pure-negative query has no SQL oracle (matches nothing)"
@@ -90,10 +99,19 @@ def bm25_topk_sql(
             f"HAVING count(DISTINCT CASE WHEN q.is_must THEN p.term END)"
             f" = {len(set(must))}"
         )
-    qvals = ", ".join(
-        "('" + t.replace("'", "''") + f"', {str(bool(is_m)).lower()})"
-        for t, is_m in [(t, True) for t in must] + [(t, False) for t in should]
-    )
+    if boosts is None:
+        qvals = ", ".join(
+            "('" + t.replace("'", "''") + f"', {str(bool(is_m)).lower()})"
+            for t, is_m in
+            [(t, True) for t in must] + [(t, False) for t in should]
+        )
+    else:
+        qvals = ", ".join(
+            "('" + t.replace("'", "''")
+            + f"', {str(bool(is_m)).lower()}, {float(boosts.get(t, 1.0))!r})"
+            for t, is_m in
+            [(t, True) for t in must] + [(t, False) for t in should]
+        )
     not_clause = ""
     if must_not:
         not_clause = (
@@ -111,11 +129,21 @@ def bm25_topk_sql(
             "FROM documents",
             f"FROM (SELECT * FROM documents WHERE {docs_where}) documents",
         )
+    qcols = "term, is_must" if boosts is None else "term, is_must, boost"
+    score_expr = (
+        f"SUM({_BM25_SCORE_SQL})"
+        if boosts is None
+        else f"SUM(({_BM25_SCORE_SQL}) * q.boost)"
+    )
+    if score_plus:
+        score_expr = f"{score_expr} + {float(score_plus)!r}"
+    if range_pred:
+        not_clause += f" AND ({range_pred})"
     return f"""
 WITH {ctes},
-qterms(term, is_must) AS (VALUES {qvals}),
+qterms({qcols}) AS (VALUES {qvals}),
 scored AS (
-  SELECT p.doc_id, SUM({_BM25_SCORE_SQL}) AS score
+  SELECT p.doc_id, {score_expr} AS score
   FROM post p
   JOIN qterms q ON p.term = q.term
   JOIN tstat ts ON p.term = ts.term
@@ -298,6 +326,41 @@ def q_bm25_or_probe(spark, sf_dir):
     cluster-scale default (tighter θ, fewer decoded blocks).  Same
     oracle as bm25_or: probe-θ must not change results."""
     return _search_blocked(spark, sf_dir, "merge join", theta_mode="probe")
+
+
+def q_bm25_boost(spark, sf_dir):
+    """Boosted flat OR (`data^2 merge`, tantivy `term^boost` via the
+    reference's parse_query, bids/index.py:147) on the blocked pruned
+    path with the aligned bound forced — per-term boosts scale every
+    bound (gmax/cm UP-guarded, θ DOWN-guarded) and the decoded
+    scores."""
+    return _search_blocked(spark, sf_dir, "data^2 merge",
+                           force_aligned=True)
+
+
+def q_bm25_range(spark, sf_dir):
+    """Range-restricted scoring (`data AND doc_id:[100 TO 300]`):
+    tantivy RangeQuery on the indexed i64 doc_id fast field (reference
+    bids/index.py:53-55) as a constant-score must clause — the blocked
+    engine skips blocks whose doc interval can't overlap the range
+    before decode (doc_id is the block sort key)."""
+    return _search_blocked(spark, sf_dir, "data AND doc_id:[100 TO 300]")
+
+
+def q_match_all(spark, sf_dir):
+    """`*` (tantivy AllQuery): every live doc at constant score 1.0,
+    tie-broken by doc_id — served from the doclens table (one row per
+    indexed doc)."""
+    return _search_blocked(spark, sf_dir, "*")
+
+
+SQL_MATCH_ALL = """
+SELECT CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM documents
+ORDER BY doc_id ASC
+LIMIT 10
+"""
 
 
 # the batched-serving query set: one Spark action, five query shapes

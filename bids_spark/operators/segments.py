@@ -642,6 +642,7 @@ class SegmentedSearchEngine(BlockedSearchEngine):
         # own global idf and the fixed segment set
         self._cm_memo = {} if cache else None
         self._domain_cache: tuple[int, int] | None = None
+        self._range_ctx: tuple[int | None, int | None] | None = None
         # per-(term, segment) dictionary idf, stashed by _term_meta —
         # the cm-sidecar rescale factors need it (same ratio as
         # _term_blocks applies to block_max_score)
@@ -820,6 +821,13 @@ class SegmentedSearchEngine(BlockedSearchEngine):
 
     def _has_deletes(self) -> bool:
         return self._tomb is not None
+
+    def _live(self, df):
+        """Constant scorers (All/Range) must not resurrect tombstoned
+        docs — same anti-join the decode override applies."""
+        if self._tomb is not None:
+            return df.join(self._tomb, "doc_id", "left_anti")
+        return df
 
     # -- per-segment chunk-max sidecars ---------------------------------------
 

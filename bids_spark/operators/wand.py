@@ -96,7 +96,7 @@ from bids_spark.functions.hashing import term_bucket
 from bids_spark.operators import chunkgrid
 from bids_spark.operators.blocked_index import BlockedIndex
 from bids_spark.operators.codec import decode_block, decode_block_positions
-from bids_spark.plans.parser import Bool, Phrase, Term, parse_query
+from bids_spark.plans.parser import All, Bool, Phrase, Range, Term, parse_query
 from bids_spark.plans.planner import BooleanEvaluator, eval_phrase
 
 _DECODED = T.StructType(
@@ -221,6 +221,11 @@ class BlockedSearchEngine(BooleanEvaluator):
         # dictionary rows in hot-serving mode
         self._cm_memo: dict[str, np.ndarray] | None = {} if cache else None
         self._domain_cache: tuple[int, int] | None = None
+        # active must-range restriction for the generic path (set by
+        # _eval_bool while evaluating a Bool whose musts include a
+        # Range): term/phrase block scans skip blocks whose doc
+        # interval can't overlap it
+        self._range_ctx: tuple[int | None, int | None] | None = None
         try:
             self.avgdl: float | None = index.avgdl  # manifest — no job
         except KeyError:
@@ -292,8 +297,79 @@ class BlockedSearchEngine(BooleanEvaluator):
     def _decode(self, blocks: DataFrame) -> DataFrame:
         return decode_blocks(blocks, self.avgdl)
 
+    def _live(self, df: DataFrame) -> DataFrame:
+        """Tombstone seam for constant scorers (All/Range): identity
+        here, anti-joined in the segmented engine."""
+        return df
+
+    def _doc_universe(self) -> DataFrame:
+        return self._live(self._doclens().select("doc_id"))
+
+    @staticmethod
+    def _range_restricted_blocks(
+        blocks: DataFrame, rng: tuple[int | None, int | None] | None
+    ) -> DataFrame:
+        """Skip blocks whose [first_doc, max_doc] interval can't
+        overlap an active must-range.  SOUND: a doc satisfying the
+        range lives only in overlapping blocks, so every posting of a
+        possible match survives; non-overlapping blocks hold only docs
+        the range must-clause excludes anyway.  doc_id is the block
+        sort key, so this is metadata-level skipping — the RangeQuery
+        analogue of tantivy's fast-field-driven seek."""
+        if not rng:
+            return blocks
+        lo, hi = rng
+        if lo is not None:
+            blocks = blocks.filter(F.col("max_doc") >= F.lit(int(lo)))
+        if hi is not None:
+            blocks = blocks.filter(F.col("first_doc") <= F.lit(int(hi)))
+        return blocks
+
+    def _eval_bool(self, b: Bool) -> DataFrame:
+        rngs = [m for m in b.must if isinstance(m, Range)]
+        if not rngs:
+            return super()._eval_bool(b)
+        # intersect this Bool's must-ranges with any enclosing context;
+        # every child evaluated under it (must, should, must_not) may
+        # skip non-overlapping blocks — the final match set must
+        # satisfy the range regardless of which child a posting feeds
+        lo = max((r.lo for r in rngs if r.lo is not None), default=None)
+        hi = min((r.hi for r in rngs if r.hi is not None), default=None)
+        prev = self._range_ctx
+        if prev is not None:
+            plo, phi = prev
+            lo = plo if lo is None else (lo if plo is None else max(lo, plo))
+            hi = phi if hi is None else (hi if phi is None else min(hi, phi))
+        self._range_ctx = (lo, hi)
+        try:
+            return super()._eval_bool(b)
+        finally:
+            self._range_ctx = prev
+
+    def _apply_boosts(self, df: DataFrame, boosts: dict[str, float]) -> DataFrame:
+        """Multiply decoded per-posting scores by their term's boost
+        (tiny broadcast dim; left join so unmapped terms keep 1.0)."""
+        if not any(b != 1.0 for b in boosts.values()):
+            return df
+        bdf = F.broadcast(
+            self.spark.createDataFrame(
+                [(t, float(b)) for t, b in boosts.items()],
+                "term string, _b double",
+            )
+        )
+        return (
+            df.join(bdf, "term", "left")
+            .withColumn(
+                "score", F.col("score") * F.coalesce(F.col("_b"), F.lit(1.0))
+            )
+            .drop("_b")
+        )
+
     def _eval_term(self, t: Term) -> DataFrame:
-        return self._decode(self._term_blocks([t.term])).select("doc_id", "score")
+        blocks = self._range_restricted_blocks(
+            self._term_blocks([t.term]), self._range_ctx
+        )
+        return self._decode(blocks).select("doc_id", "score")
 
     def _eval_phrase(self, p: Phrase) -> DataFrame:
         if not self.index.has_positions:
@@ -327,6 +403,9 @@ class BlockedSearchEngine(BooleanEvaluator):
                 # phrase provably matches nothing, zero decode jobs
                 return self._empty()
             blocks = self._restrict_blocks(blocks, bitmap_pred, rarest_ranges)
+        # an enclosing must-range skips non-overlapping blocks before
+        # the positions decode (same soundness as _eval_term)
+        blocks = self._range_restricted_blocks(blocks, self._range_ctx)
         decoded = decode_blocks_positions(blocks)
         n_docs, avgdl = self._stats()
         # phrase idf = Σ distinct member idfs — from the term dictionary
@@ -518,9 +597,16 @@ class BlockedSearchEngine(BooleanEvaluator):
             t: (built[t] if t in built else self._cm_memo[t]) for t in terms
         }
 
-    def _oth_arrays(self, tb: DataFrame, terms: list[str]) -> dict[str, list]:
-        """term → dense array A with A[c] ≥ Σ_{t'≠t} cm(t', c): the
-        per-chunk other-term score bound of the module docstring."""
+    def _oth_arrays(
+        self,
+        tb: DataFrame,
+        terms: list[str],
+        boosts: dict[str, float] | None = None,
+    ) -> dict[str, list]:
+        """term → dense array A with A[c] ≥ Σ_{t'≠t} cm(t', c) ·
+        boost(t'): the per-chunk other-term score bound of the module
+        docstring.  cm arrays stay unboosted in the memo; boosts scale
+        here (the _OM_UP guard also covers that multiply)."""
         cm = self._cm_arrays(tb, terms)
         n = self._chunk_grid()[2]
         # sum-of-OTHERS computed directly per term (never total − own:
@@ -528,7 +614,11 @@ class BlockedSearchEngine(BooleanEvaluator):
         # when one term dominates a chunk)
         out: dict[str, list] = {}
         for t in terms:
-            others = [a for t2, a in cm.items() if t2 != t]
+            others = [
+                a * boosts[t2] if boosts else a
+                for t2, a in cm.items()
+                if t2 != t
+            ]
             oth = np.sum(others, axis=0) if others else np.zeros(n)
             out[t] = (oth * self._OM_UP).tolist()
         return out
@@ -540,7 +630,12 @@ class BlockedSearchEngine(BooleanEvaluator):
     # even when a wide-range block drags the overlap filter open.
     PROBE_BLOCK_BUDGET = 64
 
-    def _probe_theta(self, tb: DataFrame, k: int) -> float:
+    def _probe_theta(
+        self,
+        tb: DataFrame,
+        k: int,
+        boosts: dict[str, float] | None = None,
+    ) -> float:
         """θ by probing: decode the highest-impact blocks per term
         (covering ≥k postings each) PLUS every query-term block whose
         doc range overlaps one of those probe blocks, sum per doc —
@@ -594,15 +689,23 @@ class BlockedSearchEngine(BooleanEvaluator):
             .filter(F.col("_rn") <= self.PROBE_BLOCK_BUDGET)
             .select("term", "first_doc", "payload", "idf")
         )
+        decoded = self._decode(probe)
+        if boosts:
+            # boosted partial sums stay valid lower bounds per doc; a
+            # DOWN relief below covers the extra multiply's rounding
+            decoded = self._apply_boosts(decoded, boosts)
         probe_topk = (
-            self._decode(probe)
+            decoded
             .groupBy("doc_id")
             .agg(F.sum("score").alias("s"))
             .orderBy(F.desc("s"))
             .limit(k)
             .collect()
         )
-        return float(probe_topk[-1]["s"]) if len(probe_topk) >= k else 0.0
+        if len(probe_topk) < k:
+            return 0.0
+        theta = float(probe_topk[-1]["s"])
+        return theta * (2.0 - self._OM_UP) if boosts else theta
 
     def _or_pruned_survivors(
         self,
@@ -610,21 +713,38 @@ class BlockedSearchEngine(BooleanEvaluator):
         k: int,
         theta_mode: str = "dict",
         aligned: bool | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> tuple[DataFrame, DataFrame, float] | None:
         """(candidate blocks, surviving blocks, θ) for a flat OR query —
         the shared core of _topk_or_pruned and pruning_stats.  None when
         no query term exists in the index.  `aligned` (default:
         OM_ALIGNED) adds the range-aligned other-term bound on top of
-        the loose Σ gmax filter (module docstring Phase 3)."""
+        the loose Σ gmax filter (module docstring Phase 3).
+
+        `boosts` (term → positive factor, tantivy `term^2`): every
+        per-term quantity in the bound scales linearly — gmax/cm by the
+        term's boost with an UP guard (a bound rounding low would
+        over-prune), θ (s10·boost) with a DOWN guard (θ must stay a
+        lower bound on the k-th best boosted total), and the block's
+        own bm(b) by a boost column from the same broadcast dim.  With
+        no boosts the unboosted plan is byte-identical to before."""
         tb = self._term_blocks(terms)
         meta = self._term_meta(terms)  # one pruned scan of tiny rows
         if not meta:
             return None
+        bst = {t: float((boosts or {}).get(t, 1.0)) for t in meta}
+        has_boost = any(b != 1.0 for b in bst.values())
         if len(set(terms)) == 1:
-            # single term: prune condition is bm(b) ≥ θ directly
+            # single term: prune condition is bm(b)·boost ≥ θ directly
             gmax, gsum = {terms[0]: 0.0}, 0.0
         else:
-            gmax = {t: float(m["gmax"]) for t, m in meta.items()}
+            gmax = {
+                t: float(m["gmax"]) * bst[t] for t, m in meta.items()
+            }
+            if has_boost:
+                # UP guard: the boosted other-term bound must never
+                # round below its real value
+                gmax = {t: g * self._OM_UP for t, g in gmax.items()}
             gsum = float(sum(gmax.values()))
 
         # θ from the term dictionary — zero extra jobs: s_k(t) is (a
@@ -634,26 +754,47 @@ class BlockedSearchEngine(BooleanEvaluator):
         # count tombstoned docs (no longer lower bounds on LIVE totals)
         # — probe-θ over filtered decodes is the valid substitute.
         theta = 0.0
+        pboosts = bst if has_boost else None
         if self._has_deletes():
-            theta = self._probe_theta(tb, k)
+            theta = self._probe_theta(tb, k, boosts=pboosts)
         else:
             if k <= 10:
-                theta = max(float(m["s10"] or 0.0) for m in meta.values())
+                theta = max(
+                    float(m["s10"] or 0.0) * bst[t]
+                    for t, m in meta.items()
+                )
             elif k <= 100:
-                theta = max(float(m["s100"] or 0.0) for m in meta.values())
+                theta = max(
+                    float(m["s100"] or 0.0) * bst[t]
+                    for t, m in meta.items()
+                )
+            if has_boost and theta > 0.0:
+                # DOWN guard on the boost multiply (θ is a lower bound)
+                theta *= 2.0 - self._OM_UP
             if theta_mode == "probe" or (theta == 0.0 and k > 100):
-                theta = max(theta, self._probe_theta(tb, k))
+                theta = max(theta, self._probe_theta(tb, k, boosts=pboosts))
 
-        # prune: drop block b iff  bm(b) + (gsum − gmax(term(b))) < θ
-        gmax_df = F.broadcast(
-            self.spark.createDataFrame(
-                [(t, float(g)) for t, g in gmax.items()], ["term", "gmax"]
+        # prune: drop block b iff  bm(b)·b(t) + (gsum − gmax(term(b)))
+        # < θ  (boost column only present when a boost ≠ 1)
+        if has_boost:
+            gmax_df = F.broadcast(
+                self.spark.createDataFrame(
+                    [
+                        (t, float(g), bst[t] * self._OM_UP)
+                        for t, g in gmax.items()
+                    ],
+                    ["term", "gmax", "_bb"],
+                )
             )
-        )
-        pred = (
-            F.col("block_max_score") + (F.lit(gsum) - F.col("gmax"))
-            >= F.lit(theta)
-        )
+            bm_eff = F.col("block_max_score") * F.col("_bb")
+        else:
+            gmax_df = F.broadcast(
+                self.spark.createDataFrame(
+                    [(t, float(g)) for t, g in gmax.items()], ["term", "gmax"]
+                )
+            )
+            bm_eff = F.col("block_max_score")
+        pred = bm_eff + (F.lit(gsum) - F.col("gmax")) >= F.lit(theta)
         if aligned is None:
             aligned = self.OM_ALIGNED and (
                 sum(int(m.get("n_blocks") or 0) for m in meta.values())
@@ -665,7 +806,7 @@ class BlockedSearchEngine(BooleanEvaluator):
             # (ONE Literal node each — never element-wise expression
             # trees, and never a join that would copy a wide array
             # onto every candidate block row)
-            oth = self._oth_arrays(tb, sorted(gmax))
+            oth = self._oth_arrays(tb, sorted(gmax), boosts=pboosts)
             lo, width, _n = self._chunk_grid()
             c1 = self._chunk_expr(F.col("first_doc"), lo, width)
             c2 = self._chunk_expr(F.col("max_doc"), lo, width)
@@ -694,7 +835,7 @@ class BlockedSearchEngine(BooleanEvaluator):
             # always sound
             pred = pred & (
                 (length > F.lit(self.OM_SLICE_CAP))
-                | (F.col("block_max_score") + om >= F.lit(theta))
+                | (bm_eff + om >= F.lit(theta))
             )
         survivors = tb.join(gmax_df, "term").filter(pred)
         return tb, survivors, theta
@@ -705,13 +846,19 @@ class BlockedSearchEngine(BooleanEvaluator):
         k: int,
         theta_mode: str = "dict",
         aligned: bool | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> DataFrame:
-        parts = self._or_pruned_survivors(terms, k, theta_mode, aligned)
+        parts = self._or_pruned_survivors(
+            terms, k, theta_mode, aligned, boosts=boosts
+        )
         if parts is None:
             return self._empty()
         _tb, survivors, _theta = parts
+        decoded = self._decode(survivors)
+        if boosts:
+            decoded = self._apply_boosts(decoded, boosts)
         return (
-            self._decode(survivors)
+            decoded
             .groupBy("doc_id")
             .agg(F.sum("score").alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -849,7 +996,8 @@ class BlockedSearchEngine(BooleanEvaluator):
         )
 
     def _topk_bool(self, must: list[str], should: list[str],
-                   must_not: list[str], k: int) -> DataFrame:
+                   must_not: list[str], k: int,
+                   boosts: dict[str, float] | None = None) -> DataFrame:
         must_set = sorted(set(must))
         bitmap_pred, rarest_ranges = None, None
         if must:
@@ -865,6 +1013,10 @@ class BlockedSearchEngine(BooleanEvaluator):
 
         pos_terms = list(dict.fromkeys(must + should))
         scored = self._decode(restrict(self._term_blocks(pos_terms)))
+        if boosts:
+            # per-posting boost multiply; the term column survives for
+            # the matched-must count below
+            scored = self._apply_boosts(scored, boosts)
         agg = scored.groupBy("doc_id").agg(
             F.sum("score").alias("score"),
             F.count_distinct(
@@ -1011,14 +1163,21 @@ class BlockedSearchEngine(BooleanEvaluator):
         return out
 
     @staticmethod
-    def _classify(ast) -> tuple[bool, list[str], list[str], list[str]]:
-        """(flat, must, should, must_not) for a parsed query.
+    def _classify(
+        ast,
+    ) -> tuple[bool, list[str], list[str], list[str], dict[str, float]]:
+        """(flat, must, should, must_not, boosts) for a parsed query.
 
         flat=True iff every clause is a bare Term and no clause term
         repeats — the queries the single-scan fast paths serve; shared
         by search() and search_many() so the two can't route the same
-        query differently."""
+        query differently.  Boosted bare terms stay flat (the pruned
+        paths scale their bounds per term); a term appearing with TWO
+        different boosts needs clause-wise scoring → generic path,
+        like any repeated term.  Range/All clauses are non-flat (they
+        evaluate as constant scorers via the shared evaluator)."""
         must, should, must_not = [], [], []
+        boosts: dict[str, float] = {}
         flat = True
         for node, bucket in (
             *[(m, must) for m in ast.must],
@@ -1027,8 +1186,13 @@ class BlockedSearchEngine(BooleanEvaluator):
         ):
             if isinstance(node, Term):
                 bucket.append(node.term)
+                b = float(node.boost)
+                if node.term in boosts and boosts[node.term] != b:
+                    flat = False
+                boosts[node.term] = b
             else:
-                # Any nested node (Bool, Phrase) → generic evaluator.
+                # Any nested node (Bool, Phrase, Range, All) → generic
+                # evaluator.
                 # NOTE a top-level "a AND b" parses to Bool(must=[a,b])
                 # DIRECTLY (never wrapped in should), so there is no
                 # flat case lost here; lifting a nested must-Bool out
@@ -1041,7 +1205,12 @@ class BlockedSearchEngine(BooleanEvaluator):
         if len(must) + len(should) != len(set(must) | set(should)) or \
                 len(must_not) != len(set(must_not)):
             flat = False
-        return flat, must, should, must_not
+        # the top-level Bool's own boost (`(a b)^2` without nesting is
+        # normalized into it) scales every score uniformly — fold it
+        # into the per-term boosts so the flat paths stay available
+        if flat and ast.boost != 1.0:
+            boosts = {t: b * float(ast.boost) for t, b in boosts.items()}
+        return flat, must, should, must_not, boosts
 
     def search(
         self,
@@ -1058,17 +1227,25 @@ class BlockedSearchEngine(BooleanEvaluator):
         blocks) — right at cluster scale where decode I/O outweighs a
         scheduling round-trip."""
         ast = parse_query(query)
-        flat, must, should, must_not = self._classify(ast)
+        flat, must, should, must_not, boosts = self._classify(ast)
+        bmap = (
+            boosts if any(b != 1.0 for b in boosts.values()) else None
+        )
         if flat:
             if not must and not should:
                 matches = self._empty()
             elif not must and not must_not and prune:
-                matches = self._topk_or_pruned(should, limit, theta_mode)
+                matches = self._topk_or_pruned(
+                    should, limit, theta_mode, boosts=bmap
+                )
             else:
-                matches = self._topk_bool(must, should, must_not, limit)
+                matches = self._topk_bool(
+                    must, should, must_not, limit, boosts=bmap
+                )
         else:
-            # nested boolean / phrase → shared evaluator over decoded blocks
-            matches = self._eval_bool(ast).orderBy(
+            # nested boolean / phrase / range / all → shared evaluator
+            # over decoded blocks (_eval applies the top-level boost)
+            matches = self._eval(ast).orderBy(
                 F.desc("score"), F.asc("doc_id")
             ).limit(limit)
         # single-partition window over the already-limited ≤k rows —
@@ -1144,53 +1321,80 @@ class BlockedSearchEngine(BooleanEvaluator):
             raise ValueError(
                 f"search_many qids must be non-empty strings, got {bad!r}"
             )
-        or_class: dict[str, list[str]] = {}
-        bool_class: dict[str, tuple[list[str], list[str], list[str]]] = {}
+        or_class: dict[str, tuple[list[str], dict[str, float]]] = {}
+        bool_class: dict[
+            str, tuple[list[str], list[str], list[str], dict[str, float] | None]
+        ] = {}
         ast_class: dict[str, Bool] = {}
         for qid, q in queries.items():
             ast = parse_query(q)
-            flat, must, should, must_not = self._classify(ast)
+            flat, must, should, must_not, boosts = self._classify(ast)
+            bmap = (
+                boosts if any(b != 1.0 for b in boosts.values()) else None
+            )
             if flat:
                 if not must and not should:
                     continue  # matches nothing — no rows for this qid
                 if not must and not must_not and prune:
-                    or_class[qid] = should
+                    or_class[qid] = (should, boosts)
                 else:
-                    bool_class[qid] = (must, should, must_not)
+                    bool_class[qid] = (must, should, must_not, bmap)
             else:
                 ast_class[qid] = ast
 
         branches: list[DataFrame] = []
         if or_class:
-            all_terms = sorted({t for ts in or_class.values() for t in ts})
+            all_terms = sorted(
+                {t for ts, _ in or_class.values() for t in ts}
+            )
             meta = self._term_meta(all_terms)  # one pruned scan, memoized
             deletes = self._has_deletes()
-            mapping: list[tuple[str, str]] = []
+            batch_boosted = any(
+                b != 1.0
+                for _, bst in or_class.values()
+                for b in bst.values()
+            )
+            mapping: list[tuple] = []
             qtheta: list[tuple[str, float]] = []
             thr: dict[str, float] = {}
-            for qid, terms in or_class.items():
+            for qid, (terms, bst) in or_class.items():
                 present = sorted({t for t in terms if t in meta})
                 if not present:
                     continue
-                mapping.extend((qid, t) for t in present)
+                bq = {t: float(bst.get(t, 1.0)) for t in present}
+                if batch_boosted:
+                    mapping.extend((qid, t, bq[t]) for t in present)
+                else:
+                    mapping.extend((qid, t) for t in present)
                 theta = 0.0
                 if not deletes:
                     if limit <= 10:
                         theta = max(
-                            float(meta[t]["s10"] or 0.0) for t in present
+                            float(meta[t]["s10"] or 0.0) * bq[t]
+                            for t in present
                         )
                     elif limit <= 100:
                         theta = max(
-                            float(meta[t]["s100"] or 0.0) for t in present
+                            float(meta[t]["s100"] or 0.0) * bq[t]
+                            for t in present
                         )
+                    if theta > 0.0 and any(b != 1.0 for b in bq.values()):
+                        # DOWN guard on the boost multiply (θ is a
+                        # lower bound on the boosted k-th best total)
+                        theta *= self._BATCH_THETA_RELIEF
                 qtheta.append((qid, theta))
-                gsum = sum(float(meta[t]["gmax"]) for t in present)
+                gsum = sum(float(meta[t]["gmax"]) * bq[t] for t in present)
                 for t in present:
                     if theta > 0.0:
                         # single-present-term queries reduce to bm ≥ θ
                         # (gsum == gmax(t)) — same formula, no special
-                        # case needed
-                        cand = theta - gsum + float(meta[t]["gmax"])
+                        # case needed.  With a boost the per-term raw-bm
+                        # threshold divides through by it:
+                        #   bm·b + (gsum − gmax·b) ≥ θ
+                        #   ⇔ bm ≥ (θ − gsum + gmax·b)/b
+                        cand = (
+                            theta - gsum + float(meta[t]["gmax"]) * bq[t]
+                        ) / bq[t]
                         cand *= (
                             self._BATCH_THETA_RELIEF
                             if cand >= 0.0
@@ -1213,7 +1417,9 @@ class BlockedSearchEngine(BooleanEvaluator):
                 )
                 qmap = F.broadcast(
                     self.spark.createDataFrame(
-                        mapping, "qid string, term string"
+                        mapping,
+                        "qid string, term string"
+                        + (", _qb double" if batch_boosted else ""),
                     )
                 )
                 tdf = F.broadcast(
@@ -1221,9 +1427,16 @@ class BlockedSearchEngine(BooleanEvaluator):
                         qtheta, "qid string, _theta double"
                     )
                 )
+                scored = self._decode(survivors).join(qmap, "term")
+                if batch_boosted:
+                    # per-(qid, term) boost multiply after the fan-out:
+                    # the shared decode stays unboosted, each query
+                    # sees its own scaling
+                    scored = scored.withColumn(
+                        "score", F.col("score") * F.col("_qb")
+                    ).drop("_qb")
                 scored = (
-                    self._decode(survivors)
-                    .join(qmap, "term")
+                    scored
                     .groupBy("qid", "doc_id")
                     .agg(F.sum("score").alias("score"))
                     .join(tdf, "qid")
@@ -1235,16 +1448,16 @@ class BlockedSearchEngine(BooleanEvaluator):
                 )
                 branches.append(scored)
 
-        for qid, (must, should, must_not) in bool_class.items():
+        for qid, (must, should, must_not, bmap) in bool_class.items():
             if not must and not should:
                 continue
-            m = self._topk_bool(must, should, must_not, limit)
+            m = self._topk_bool(must, should, must_not, limit, boosts=bmap)
             branches.append(
                 m.select(F.lit(qid).alias("qid"), "doc_id", "score")
             )
         for qid, ast in ast_class.items():
             m = (
-                self._eval_bool(ast)
+                self._eval(ast)
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(limit)
             )

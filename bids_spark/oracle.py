@@ -16,7 +16,7 @@ from collections import Counter
 
 from bids_spark import B, K1
 from bids_spark.functions.text import tokenize_query
-from bids_spark.plans.parser import Bool, Phrase, Term, parse_query
+from bids_spark.plans.parser import All, Bool, Phrase, Range, Term, parse_query
 
 
 def tokenize(text: str) -> list[str]:
@@ -74,10 +74,28 @@ class OracleIndex:
         return out
 
     def _eval(self, node) -> dict[int, float]:
+        scores = self._eval_raw(node)
+        # boost multiplies the wrapped query's scores (BoostQuery)
+        b = getattr(node, "boost", 1.0)
+        if b != 1.0:
+            scores = {d: s * b for d, s in scores.items()}
+        return scores
+
+    def _eval_raw(self, node) -> dict[int, float]:
         if isinstance(node, Term):
             return self._eval_term(node.term)
         if isinstance(node, Phrase):
             return self._eval_phrase(node.terms)
+        if isinstance(node, Range):
+            # constant scorer over the doc_id fast field
+            return {
+                d: 1.0
+                for d in self.dl
+                if (node.lo is None or d >= node.lo)
+                and (node.hi is None or d <= node.hi)
+            }
+        if isinstance(node, All):
+            return {d: 1.0 for d in self.dl}
         assert isinstance(node, Bool)
         if not node.must and not node.should:
             return {}

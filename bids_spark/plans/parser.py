@@ -10,6 +10,19 @@ exposes (`index.parse_query(q, ["content"])` at
     - `+term` / `-term`         → must / must-not
     - `"a b c"`                 → phrase (positions)
     - `( ... )`                 → grouping
+    - `atom^2.5`                → boost: the wrapped query's score is
+      multiplied (tantivy BoostQuery; works on terms, phrases, groups,
+      ranges, `*`).  Boosts compose: `(a^2)^3` ≡ `a^6`.  Non-numeric
+      or non-positive boosts are parse errors.
+    - `doc_id:[5 TO 10]`        → range query on the indexed i64
+      doc_id fast field (declared at reference bids/index.py:53-55).
+      `{`/`}` are exclusive bounds (normalized to inclusive ±1 — exact
+      for an integer field), `*` an open end.  Constant scorer: every
+      matching doc scores 1.0 × boost (Lucene/tantivy ConstScorer).
+      Term-dictionary ranges on the text field (`content:[a TO b]`)
+      are NOT supported — documented divergence, ValueError.
+    - `*`                       → match-all (tantivy AllQuery), 1.0 ×
+      boost per doc.
     - `content:term` / `content:"a b"` → field-scoped query.  The
       schema declares exactly one text field (`content`, the parse
       default at bids/index.py:147), so scoping to it is the identity;
@@ -27,6 +40,8 @@ plane work (SURVEY.md §2D D1).
 
 from __future__ import annotations
 
+import dataclasses
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -41,11 +56,30 @@ FIELDS = frozenset({"content"})
 @dataclass(frozen=True)
 class Term:
     term: str
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class Phrase:
     terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Range:
+    """doc_id range, inclusive bounds after normalization; None = open.
+    Constant scorer (1.0 × boost) like Lucene's RangeQuery."""
+
+    lo: int | None
+    hi: int | None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class All:
+    """Match-all (tantivy AllQuery) — 1.0 × boost per doc."""
+
+    boost: float = 1.0
 
 
 @dataclass
@@ -53,6 +87,7 @@ class Bool:
     must: list = field(default_factory=list)
     should: list = field(default_factory=list)
     must_not: list = field(default_factory=list)
+    boost: float = 1.0
 
 
 _LEXER = re.compile(
@@ -61,10 +96,31 @@ _LEXER = re.compile(
     (?P<and>\bAND\b) | (?P<or>\bOR\b) |
     (?P<plus>\+) | (?P<minus>-) |
     (?P<phrase>"[^"]*") |
+    (?P<range>[A-Za-z_][A-Za-z0-9_]*:[\[{][^\]}]*[\]}]) |
     (?P<word>[^\s()+\-"]+)
     """,
     re.VERBOSE,
 )
+
+
+def _parse_boost(s: str) -> float:
+    try:
+        b = float(s)
+    except ValueError:
+        raise ValueError(f"invalid boost {s!r}") from None
+    if not (b > 0.0) or math.isinf(b) or math.isnan(b):
+        raise ValueError(f"boost must be a positive finite number: {s!r}")
+    return b
+
+
+def _boost(node, b: float):
+    """Multiply a node's boost (tantivy BoostQuery wraps; we fold)."""
+    if node is None or b == 1.0:
+        return node
+    if isinstance(node, Bool):
+        node.boost *= b
+        return node
+    return dataclasses.replace(node, boost=node.boost * b)
 
 
 def _lex(q: str) -> list[tuple[str, str]]:
@@ -101,7 +157,7 @@ class _Parser:
                 right = self._and_expr()
                 if right is not None:
                     parts.append(right)
-            elif kind in ("lparen", "phrase", "word", "plus", "minus"):
+            elif kind in ("lparen", "phrase", "word", "range", "plus", "minus"):
                 # implicit adjacency → should (tantivy default)
                 nxt = self._and_expr()
                 if nxt is not None:
@@ -163,41 +219,102 @@ class _Parser:
             return Term(terms[0])
         return Phrase(tuple(terms))
 
+    def _maybe_boost(self, node):
+        """Attach a trailing `^N` token (boost after a phrase, group,
+        or range: the lexer emits it as a separate word)."""
+        kind, val = self.peek()
+        if kind == "word" and val.startswith("^"):
+            self.next()
+            return _boost(node, _parse_boost(val[1:]))
+        return node
+
+    @staticmethod
+    def _parse_range(val: str) -> Range:
+        m = re.fullmatch(
+            r"([A-Za-z_][A-Za-z0-9_]*):([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])",
+            val,
+        )
+        if not m:
+            raise ValueError(
+                f"malformed range query {val!r} "
+                "(expected field:[lo TO hi], * for an open end)"
+            )
+        fld, lb, lo_s, hi_s, rb = m.groups()
+        if fld.lower() != "doc_id":
+            raise ValueError(
+                "range queries are supported on the indexed i64 doc_id "
+                f"field only (reference bids/index.py:53-55), got {fld!r}"
+            )
+
+        def bound(s: str, excl_adj: int) -> int | None:
+            if s == "*":
+                return None
+            try:
+                return int(s) + excl_adj
+            except ValueError:
+                raise ValueError(
+                    f"range bound must be an integer or *, got {s!r}"
+                ) from None
+
+        # exclusive {}/inclusive [] bounds — exact ±1 on an int field
+        return Range(
+            bound(lo_s, 1 if lb == "{" else 0),
+            bound(hi_s, -1 if rb == "}" else 0),
+        )
+
     def _atom(self):
         kind, val = self.next()
         if kind == "lparen":
             inner = self._or_expr()
             if self.peek()[0] == "rparen":
                 self.next()
-            return inner
+            return self._maybe_boost(inner)
         if kind == "phrase":
-            return self._tokens_atom(val.strip('"'))
+            return self._maybe_boost(self._tokens_atom(val.strip('"')))
+        if kind == "range":
+            return self._maybe_boost(self._parse_range(val))
         if kind == "word":
-            if ":" in val:
-                fld, _, rest = val.partition(":")
-                if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", fld):
-                    # NON-identifier prefixes ("12:30") tokenize as
-                    # plain terms.  An identifier-shaped prefix is
-                    # ALWAYS field syntax — so "http://example.com"
-                    # raises ValueError('unknown field http'), exactly
-                    # like tantivy's QueryParser on an undeclared field
-                    # (users must quote URLs: "\"http://example.com\"")
-                    return self._tokens_atom(val)
-                if fld.lower() not in FIELDS:
-                    raise ValueError(
-                        f"unknown field '{fld}' in query "
-                        f"(declared fields: {', '.join(sorted(FIELDS))})"
-                    )
-                if not rest:
-                    # `content:"a b"` — the quote ended the word token
-                    if self.peek()[0] == "phrase":
-                        _, qval = self.next()
-                        return self._tokens_atom(qval.strip('"'))
-                    return None
-                val = rest
-            # multi-token words (e.g. "foo.bar") degrade to a phrase
-            return self._tokens_atom(val)
+            boost = None
+            if "^" in val:
+                base, _, suf = val.rpartition("^")
+                if not base:
+                    raise ValueError(f"dangling boost {val!r}")
+                boost = _parse_boost(suf)
+                val = base
+            if val == "*":
+                node = All()
+            else:
+                node = self._word_atom(val)
+            if boost is not None:
+                node = _boost(node, boost)
+            return self._maybe_boost(node)
         return None
+
+    def _word_atom(self, val: str):
+        if ":" in val:
+            fld, _, rest = val.partition(":")
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", fld):
+                # NON-identifier prefixes ("12:30") tokenize as
+                # plain terms.  An identifier-shaped prefix is
+                # ALWAYS field syntax — so "http://example.com"
+                # raises ValueError('unknown field http'), exactly
+                # like tantivy's QueryParser on an undeclared field
+                # (users must quote URLs: "\"http://example.com\"")
+                return self._tokens_atom(val)
+            if fld.lower() not in FIELDS:
+                raise ValueError(
+                    f"unknown field '{fld}' in query "
+                    f"(declared fields: {', '.join(sorted(FIELDS))})"
+                )
+            if not rest:
+                # `content:"a b"` — the quote ended the word token
+                if self.peek()[0] == "phrase":
+                    _, qval = self.next()
+                    return self._tokens_atom(qval.strip('"'))
+                return None
+            val = rest
+        # multi-token words (e.g. "foo.bar") degrade to a phrase
+        return self._tokens_atom(val)
 
 
 def _normalize(node):
@@ -215,8 +332,8 @@ def parse_query(q: str) -> Bool:
     node = _normalize(_Parser(_lex(q)).parse())
     if isinstance(node, (Term, Phrase)):
         return Bool(should=[node])
-    # normalize any tuple children
-    fixed = Bool()
+    # normalize any tuple children (keep the top-level boost)
+    fixed = Bool(boost=node.boost)
     for bucket, target in (
         (node.must, "must"),
         (node.should, "should"),

@@ -37,7 +37,7 @@ from bids_spark.operators.index_build import (
     scored_postings,
     term_stats,
 )
-from bids_spark.plans.parser import Bool, Phrase, Term, parse_query
+from bids_spark.plans.parser import All, Bool, Phrase, Range, Term, parse_query
 
 
 def eval_phrase(
@@ -122,17 +122,50 @@ class BooleanEvaluator:
     def _eval_phrase(self, p: Phrase) -> DataFrame:  # pragma: no cover
         raise NotImplementedError
 
+    def _doc_universe(self) -> DataFrame:  # pragma: no cover
+        """(doc_id) of every live indexed doc — the match set of
+        All/Range constant scorers."""
+        raise NotImplementedError
+
     def _empty_scores(self) -> DataFrame:  # pragma: no cover
         raise NotImplementedError
 
+    def _eval_range(self, r: Range) -> DataFrame:
+        """Constant scorer: 1.0 per doc in [lo, hi] (boost applied
+        centrally in _eval, like every node)."""
+        df = self._doc_universe()
+        if r.lo is not None:
+            df = df.filter(F.col("doc_id") >= F.lit(int(r.lo)))
+        if r.hi is not None:
+            df = df.filter(F.col("doc_id") <= F.lit(int(r.hi)))
+        return df.select("doc_id", F.lit(1.0).alias("score"))
+
+    def _eval_all(self, a: All) -> DataFrame:
+        return self._doc_universe().select(
+            "doc_id", F.lit(1.0).alias("score")
+        )
+
     def _eval(self, node) -> DataFrame:
         if isinstance(node, Term):
-            return self._eval_term(node)
-        if isinstance(node, Phrase):
-            return self._eval_phrase(node)
-        if isinstance(node, Bool):
-            return self._eval_bool(node)
-        raise TypeError(f"unknown AST node {node!r}")
+            df = self._eval_term(node)
+        elif isinstance(node, Phrase):
+            df = self._eval_phrase(node)
+        elif isinstance(node, Range):
+            df = self._eval_range(node)
+        elif isinstance(node, All):
+            df = self._eval_all(node)
+        elif isinstance(node, Bool):
+            df = self._eval_bool(node)
+        else:
+            raise TypeError(f"unknown AST node {node!r}")
+        # boost applied HERE for every node kind (hooks return unboosted
+        # scores): per-row multiply then sum ≡ Lucene BoostQuery
+        b = float(getattr(node, "boost", 1.0))
+        if b != 1.0:
+            df = df.select(
+                "doc_id", (F.col("score") * F.lit(b)).alias("score")
+            )
+        return df
 
     def _union_sum(self, dfs: list[DataFrame]) -> DataFrame:
         out = dfs[0]
@@ -226,6 +259,11 @@ class SearchEngine(BooleanEvaluator):
         return eval_phrase(
             self.postings_pos, self.doclens, self.n_docs, self.avgdl, p
         )
+
+    def _doc_universe(self) -> DataFrame:
+        # one row per indexed doc (dl may be 0 — an empty doc still
+        # matches All/Range, as in tantivy)
+        return self.doclens.select("doc_id")
 
     def _empty_scores(self) -> DataFrame:
         return self.scored.select("doc_id", "score").limit(0)
