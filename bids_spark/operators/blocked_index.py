@@ -369,6 +369,16 @@ class BlockedIndex:
                 all_ids.join(doclens, "doc_id", "left")
                 .select("doc_id", F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
             )
+            # range-partition + sort by doc_id: parquet row-group
+            # min/max stats then prune `doc_id:[lo TO hi]` constant-
+            # scorer scans (_eval_range) to the overlapping groups —
+            # without this a narrow range reads the WHOLE doclens
+            # relation (TB-scale at 10^12 docs).  Delta-friendly layout
+            # also compresses better; one extra (doc_id, dl) shuffle at
+            # build, query side unchanged for every other consumer.
+            doclens = doclens.repartitionByRange(
+                n_part, "doc_id"
+            ).sortWithinPartitions("doc_id")
             self.io.write(doclens, "doclens")
             self._mark(man, "doclens", fingerprint, seconds=time.time() - t0)
         doclens = self.io.read(spark, "doclens")

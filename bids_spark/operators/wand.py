@@ -365,10 +365,18 @@ class BlockedSearchEngine(BooleanEvaluator):
             .drop("_b")
         )
 
+    # Master switch for the must-range block restriction (A/B-able,
+    # like OM_ALIGNED / AND_BITMAP): off = decode every candidate
+    # block and let the Range must-join filter rows — same results.
+    RANGE_RESTRICT = True
+
+    def _apply_range_ctx(self, blocks: DataFrame) -> DataFrame:
+        if not self.RANGE_RESTRICT:
+            return blocks
+        return self._range_restricted_blocks(blocks, self._range_ctx)
+
     def _eval_term(self, t: Term) -> DataFrame:
-        blocks = self._range_restricted_blocks(
-            self._term_blocks([t.term]), self._range_ctx
-        )
+        blocks = self._apply_range_ctx(self._term_blocks([t.term]))
         return self._decode(blocks).select("doc_id", "score")
 
     def _eval_phrase(self, p: Phrase) -> DataFrame:
@@ -405,7 +413,7 @@ class BlockedSearchEngine(BooleanEvaluator):
             blocks = self._restrict_blocks(blocks, bitmap_pred, rarest_ranges)
         # an enclosing must-range skips non-overlapping blocks before
         # the positions decode (same soundness as _eval_term)
-        blocks = self._range_restricted_blocks(blocks, self._range_ctx)
+        blocks = self._apply_range_ctx(blocks)
         decoded = decode_blocks_positions(blocks)
         n_docs, avgdl = self._stats()
         # phrase idf = Σ distinct member idfs — from the term dictionary

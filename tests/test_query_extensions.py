@@ -296,6 +296,23 @@ def test_range_prunes_blocked_decode(spark, index):
     assert 0 < restricted < all_blocks
 
 
+def test_range_restrict_on_off_identical(spark, index, naive):
+    """RANGE_RESTRICT off decodes every candidate block and lets the
+    Range must-join filter rows — results must be identical."""
+    on = BlockedSearchEngine(spark, index)
+    off = BlockedSearchEngine(spark, index)
+    off.RANGE_RESTRICT = False
+    for q in (
+        "data AND doc_id:[100 TO 300]",
+        '"merge join" AND doc_id:[50 TO 150]',
+        "doc_id:[* TO 50] data AND doc_id:[10 TO *]",
+    ):
+        got_on = _rows(on.search(q, 10))
+        got_off = _rows(off.search(q, 10))
+        assert got_on == got_off, q
+        _assert_close(got_on, _rows(naive.search(q, 10)), q)
+
+
 def test_segmented_all_respects_tombstones(spark, docs, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("qexttomb"))
     si = SegmentedIndex(root)
