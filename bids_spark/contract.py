@@ -541,6 +541,14 @@ def q_bm25_phrase_blocked(spark, sf_dir):
     return _search_blocked(spark, sf_dir, '"merge join"')
 
 
+def q_bm25_phrase_slop(spark, sf_dir):
+    """Sloppy phrase (`"a b"~N`) through the blocked scale path: the
+    phrase-block restriction, positions decode, and the tantivy greedy
+    slop UDF (functions/slop.py) all sit under the independent
+    recursive-CTE DuckDB oracle (bm25_phrase_slop_sql)."""
+    return _search_blocked(spark, sf_dir, '"merge join"~2')
+
+
 SQL_TOKENIZE_TF = f"""
 WITH {_TOK_CTES}
 SELECT doc_id, term, tf FROM post
@@ -587,6 +595,85 @@ ph AS (
   WHERE t0.lst[t0.p] = '{esc[0]}'
   GROUP BY t0.doc_id
 ),
+phidf AS (
+  SELECT sum(ln(1 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5))) AS idf
+  FROM tstat ts CROSS JOIN stats s WHERE ts.term IN ({in_list})
+),
+scored AS (
+  SELECT ph.doc_id,
+         phidf.idf * ph.tf * 2.2 /
+         (ph.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl)) AS score
+  FROM ph JOIN dl d ON ph.doc_id = d.doc_id
+  CROSS JOIN stats s CROSS JOIN phidf
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def bm25_phrase_slop_sql(terms: list[str], slop: int, k: int = 10) -> str:
+    """DuckDB oracle for a sloppy phrase (`"a b"~N`).
+
+    Implements tantivy's greedy sloppy match (functions/slop.py) as a
+    chain of recursive-CTE two-pointer walks — genuinely independent
+    of the Python matcher: each recursion level consumes exactly one
+    right-list element, the "skip too-small lefts" and "there could be
+    a better match" advances are list_filter counts over the sorted
+    left list, and the matched right values are carried as a list so
+    the next term's walk can consume them.  Depth is bounded by the
+    longest per-doc position list.  Scoring is identical to
+    bm25_phrase_sql (phrase tf, Σ distinct member idfs, BM25).
+    """
+    assert len(terms) >= 2 and slop >= 0
+    esc = [t.replace("'", "''") for t in terms]
+    in_list = ", ".join(f"'{e}'" for e in esc)
+    walks = []
+    prev = "seed"
+    for i in range(1, len(terms)):
+        walks.append(f"""
+w{i} AS (
+  SELECT s.doc_id, s.l, r.r, 1 AS li, 1 AS ri,
+         CAST([] AS BIGINT[]) AS out
+  FROM {prev} s
+  JOIN (SELECT doc_id, list(p - {i} ORDER BY p) AS r
+        FROM pos WHERE lst[p] = '{esc[i]}' GROUP BY doc_id) r
+    USING (doc_id)
+  WHERE len(s.l) > 0 AND len(r.r) > 0
+  UNION ALL
+  SELECT doc_id, l, r,
+    CASE WHEN l[li2] <= r[ri] + {slop}
+         THEN li2 + len(list_filter(list_slice(l, li2 + 1, len(l)),
+                                    x -> x <= r[ri])) + 1
+         ELSE li2 END,
+    ri + 1,
+    CASE WHEN l[li2] <= r[ri] + {slop}
+         THEN list_append(out, r[ri]) ELSE out END
+  FROM (
+    SELECT doc_id, l, r, li, ri, out,
+      li + len(list_filter(list_slice(l, li, len(l)),
+                           x -> x < r[ri] - {slop})) AS li2
+    FROM w{i} WHERE ri <= len(r) AND li <= len(l)
+  )
+),
+f{i} AS (
+  SELECT doc_id, out AS l FROM (
+    SELECT doc_id, out,
+           row_number() OVER (PARTITION BY doc_id ORDER BY ri DESC) AS rn
+    FROM w{i}
+  ) WHERE rn = 1 AND len(out) > 0
+)""")
+        prev = f"f{i}"
+    walk_sql = ",".join(walks)
+    return f"""
+WITH RECURSIVE {_TOK_CTES.strip()},
+{_LST_CTE.strip()},
+pos AS (SELECT doc_id, unnest(generate_series(1, len(lst))) AS p, lst FROM base),
+seed AS (
+  SELECT doc_id, list(p ORDER BY p) AS l
+  FROM pos WHERE lst[p] = '{esc[0]}' GROUP BY doc_id
+),{walk_sql},
+ph AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS tf FROM {prev}),
 phidf AS (
   SELECT sum(ln(1 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5))) AS idf
   FROM tstat ts CROSS JOIN stats s WHERE ts.term IN ({in_list})

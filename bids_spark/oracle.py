@@ -58,12 +58,23 @@ class OracleIndex:
             if t in c
         }
 
-    def _eval_phrase(self, terms: tuple[str, ...]) -> dict[int, float]:
+    def _eval_phrase(
+        self, terms: tuple[str, ...], slop: int = 0
+    ) -> dict[int, float]:
         # idf over DISTINCT member terms (matches the planner)
         idf = sum(self.idf(self.df[t]) for t in set(terms) if t in self.df)
         out = {}
         for d, pos in self.positions.items():
             if any(t not in pos for t in terms):
+                continue
+            if slop > 0:
+                # tantivy sloppy-phrase count (functions/slop.py); the
+                # slop=0 exact chain below stays independent of it
+                from bids_spark.functions.slop import phrase_tf_slop
+
+                tf = phrase_tf_slop([pos[t] for t in terms], slop)
+                if tf:
+                    out[d] = self.term_score(tf, self.dl[d], idf)
                 continue
             ends = pos[terms[0]]
             for t in terms[1:]:
@@ -85,7 +96,7 @@ class OracleIndex:
         if isinstance(node, Term):
             return self._eval_term(node.term)
         if isinstance(node, Phrase):
-            return self._eval_phrase(node.terms)
+            return self._eval_phrase(node.terms, node.slop)
         if isinstance(node, Range):
             # constant scorer over the doc_id fast field
             return {

@@ -9,6 +9,17 @@ exposes (`index.parse_query(q, ["content"])` at
     - `a AND b` / `a OR b`      → boolean operators (AND binds tighter)
     - `+term` / `-term`         → must / must-not
     - `"a b c"`                 → phrase (positions)
+    - `"a b"~2`                 → phrase with slop (tantivy sloppy
+      phrase; matching semantics in functions/slop.py — greedy
+      monotone matching on ordinal-relativized positions, transposed
+      adjacent terms cost 2).  Slop must be a non-negative integer;
+      `~N` composes with boost as `"a b"~2^3` (slop first, like
+      Lucene/tantivy).  On a quoted string that degrades to a single
+      term (or nothing) the slop is accepted and dropped — slop is
+      meaningless without at least two positions to relate.  Bare-word
+      `term~N` (tantivy fuzzy-term syntax) is REJECTED loudly —
+      unsupported, and the old silent tokenization into the phrase
+      ["term","n"] was wrong semantics under any reading.
     - `( ... )`                 → grouping
     - `atom^2.5`                → boost: the wrapped query's score is
       multiplied (tantivy BoostQuery; works on terms, phrases, groups,
@@ -63,6 +74,9 @@ class Term:
 class Phrase:
     terms: tuple[str, ...]
     boost: float = 1.0
+    # `"a b"~N` slop (tantivy sloppy phrase; 0 = exact adjacency).
+    # Matching semantics: functions/slop.py.
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -111,6 +125,17 @@ def _parse_boost(s: str) -> float:
     if not (b > 0.0) or math.isinf(b) or math.isnan(b):
         raise ValueError(f"boost must be a positive finite number: {s!r}")
     return b
+
+
+def _parse_slop(s: str) -> int:
+    try:
+        n = int(s)
+    except ValueError:
+        raise ValueError(f"invalid slop {s!r} (expected \"a b\"~N, "
+                         "N a non-negative integer)") from None
+    if n < 0:
+        raise ValueError(f"slop must be non-negative: {s!r}")
+    return n
 
 
 def _boost(node, b: float):
@@ -219,6 +244,28 @@ class _Parser:
             return Term(terms[0])
         return Phrase(tuple(terms))
 
+    def _maybe_slop(self, node):
+        """Attach a trailing `~N` token after a quoted phrase (the
+        lexer emits it as a separate word; a fused `~N^B` boost suffix
+        is split here — slop binds before boost, Lucene/tantivy
+        order)."""
+        kind, val = self.peek()
+        if kind == "word" and val.startswith("~"):
+            self.next()
+            suf = val[1:]
+            boost = None
+            if "^" in suf:
+                suf, _, b = suf.partition("^")
+                boost = _parse_boost(b)
+            slop = _parse_slop(suf)
+            if isinstance(node, Phrase) and slop:
+                node = dataclasses.replace(node, slop=slop)
+            # single-token (or empty) quoted strings degraded to
+            # Term/None: slop accepted and dropped
+            if boost is not None:
+                node = _boost(node, boost)
+        return node
+
     def _maybe_boost(self, node):
         """Attach a trailing `^N` token (boost after a phrase, group,
         or range: the lexer emits it as a separate word)."""
@@ -270,7 +317,8 @@ class _Parser:
                 self.next()
             return self._maybe_boost(inner)
         if kind == "phrase":
-            return self._maybe_boost(self._tokens_atom(val.strip('"')))
+            node = self._maybe_slop(self._tokens_atom(val.strip('"')))
+            return self._maybe_boost(node)
         if kind == "range":
             return self._maybe_boost(self._parse_range(val))
         if kind == "word":
@@ -291,6 +339,16 @@ class _Parser:
         return None
 
     def _word_atom(self, val: str):
+        if re.search(r"~\d+$", val) and not val.startswith("~"):
+            # tantivy fuzzy-term syntax.  Silently tokenizing it into
+            # the phrase ["data","2"] (the pre-round-4 behaviour for
+            # such words) is wrong semantics either way, so reject
+            # loudly instead — same policy as the boost fix.
+            raise ValueError(
+                f"fuzzy term queries ({val!r}) are not supported; "
+                "~N applies to quoted phrases as slop (\"a b\"~2) — "
+                "drop the ~N or quote the phrase"
+            )
         if ":" in val:
             fld, _, rest = val.partition(":")
             if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", fld):

@@ -26,6 +26,7 @@ as TakeOrderedAndProject — per-partition heaps, no global sort (D8).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,6 +39,45 @@ from bids_spark.operators.index_build import (
     term_stats,
 )
 from bids_spark.plans.parser import All, Bool, Phrase, Range, Term, parse_query
+
+
+def _phrase_tf_slop_df(postings_pos: DataFrame, p: Phrase) -> DataFrame:
+    """(doc_id, tf) for a sloppy phrase (p.slop > 0).
+
+    Per-ordinal position arrays are inner-joined on doc_id (a doc
+    lacking any member can't match — same join shape as the exact
+    chain), then one Arrow-batched pandas UDF computes the tantivy
+    greedy sloppy-match count per doc (functions/slop.py).  Integer
+    arithmetic only, so the tf is exact; scoring shares the BM25
+    expression with the slop=0 path.
+    """
+    from bids_spark.functions.slop import phrase_tf_slop
+
+    slop = int(p.slop)
+    n = len(p.terms)
+
+    # one array<array<int>> column (ordinal-ordered) — pandas_udf's
+    # type-hint inference rejects variadic signatures, and packing
+    # keeps the UDF arity fixed for any phrase length
+    @F.pandas_udf("long")
+    def _tf(plists: pd.Series) -> pd.Series:
+        return pd.Series(
+            [phrase_tf_slop(row, slop) for row in plists],
+            dtype="int64",
+        )
+
+    cur = postings_pos.filter(F.col("term") == p.terms[0]).select(
+        "doc_id", F.col("positions").alias("p0")
+    )
+    for i, t in enumerate(p.terms[1:], start=1):
+        nxt = postings_pos.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"p{i}")
+        )
+        cur = cur.join(nxt, "doc_id")
+    return cur.select(
+        "doc_id",
+        _tf(F.array(*[F.col(f"p{i}") for i in range(n)])).alias("tf"),
+    ).filter(F.col("tf") > 0)
 
 
 def eval_phrase(
@@ -61,27 +101,39 @@ def eval_phrase(
     prefix ends; phrase tf = |final set|.  Scored like a pseudo-term:
     idf = Σ member-term idfs (Lucene phrase scoring), tf = phrase
     frequency, same length normalization.
+
+    Slop (`"a b"~N`, p.slop > 0): the tf becomes tantivy's greedy
+    sloppy match count (functions/slop.py — an inherently sequential
+    per-doc two-pointer walk Catalyst arrays can't express), computed
+    by an Arrow-batched pandas UDF over the same per-ordinal position
+    arrays the exact chain would intersect.  Everything around the tf
+    (member join plumbing, idf, BM25) is shared with slop=0, and at
+    slop=0 the walk IS sorted-set intersection, so the two paths are
+    property-tested identical.
     """
-    first, rest = p.terms[0], p.terms[1:]
-    cur = (
-        postings_pos.filter(F.col("term") == first)
-        .select("doc_id", F.col("positions").alias("ends"))
-    )
-    for i, t in enumerate(rest):
-        nxt = postings_pos.filter(F.col("term") == t).select(
-            "doc_id", F.col("positions").alias(f"p{i}")
-        )
+    if p.slop > 0:
+        phrase_tf = _phrase_tf_slop_df(postings_pos, p)
+    else:
+        first, rest = p.terms[0], p.terms[1:]
         cur = (
-            cur.join(nxt, "doc_id")
-            .select(
-                "doc_id",
-                F.array_intersect(
-                    F.transform("ends", lambda x: x + 1), F.col(f"p{i}")
-                ).alias("ends"),
-            )
-            .filter(F.size("ends") > 0)
+            postings_pos.filter(F.col("term") == first)
+            .select("doc_id", F.col("positions").alias("ends"))
         )
-    phrase_tf = cur.select("doc_id", F.size("ends").alias("tf"))
+        for i, t in enumerate(rest):
+            nxt = postings_pos.filter(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias(f"p{i}")
+            )
+            cur = (
+                cur.join(nxt, "doc_id")
+                .select(
+                    "doc_id",
+                    F.array_intersect(
+                        F.transform("ends", lambda x: x + 1), F.col(f"p{i}")
+                    ).alias("ends"),
+                )
+                .filter(F.size("ends") > 0)
+            )
+        phrase_tf = cur.select("doc_id", F.size("ends").alias("tf"))
     # idf of the phrase = sum of DISTINCT member-term idfs (Lucene
     # phrase scoring).  A caller with a term dictionary (blocked/
     # segmented engines) passes the precomputed sum via `idf_sum`,

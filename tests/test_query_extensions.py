@@ -141,6 +141,11 @@ QUERIES = [
     "*",                                  # match-all
     "* -data",                            # match-all minus a term
     "*^2 data",                           # boosted all + term
+    '"merge join"~2',                     # sloppy phrase (tests/test_phrase_slop.py pins the matcher)
+    '"join merge"~2 data',                # transposed sloppy phrase in an OR
+    '"the data"~4 AND merge',             # sloppy phrase under a must
+    '"merge join"~1^2',                   # slop + boost
+    '"merge join sort"~3',                # 3-term sloppy phrase
 ]
 
 
