@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_prefilter": C.q_bm25_and_prefilter,
         "bm25_phrase_blocked": C.q_bm25_phrase_blocked,
         "bm25_phrase_slop": C.q_bm25_phrase_slop,
+        "term_set": C.q_term_set,
+        "docid_set": C.q_docid_set,
         "bm25_or_segmented": C.q_bm25_or_segmented,
         "bm25_and_segmented": C.q_bm25_and_segmented,
         "bm25_not_segmented": C.q_bm25_not_segmented,
@@ -120,6 +122,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_prefilter": C.bm25_topk_sql(must=["merge", "join"]),
         "bm25_phrase_blocked": C.bm25_phrase_sql(["merge", "join"]),
         "bm25_phrase_slop": C.bm25_phrase_slop_sql(["merge", "join"], 2),
+        "term_set": C.TERM_SET_SQL,
+        "docid_set": C.DOCID_SET_SQL,
         "bm25_or_segmented": C.bm25_topk_sql(should=["merge", "join"]),
         "bm25_and_segmented": C.bm25_topk_sql(must=["merge", "join"]),
         "bm25_not_segmented": C.bm25_topk_sql(

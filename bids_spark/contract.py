@@ -541,6 +541,34 @@ def q_bm25_phrase_blocked(spark, sf_dir):
     return _search_blocked(spark, sf_dir, '"merge join"')
 
 
+def q_term_set(spark, sf_dir):
+    """`content: IN [a b]` set query (tantivy TermSetQuery, constant
+    scorer) through the blocked path — one multi-term pruned scan."""
+    return _search_blocked(spark, sf_dir, "content: IN [merge join]")
+
+
+def q_docid_set(spark, sf_dir):
+    """`doc_id: IN [...]` fast-field set query (constant scorer)."""
+    return _search_blocked(spark, sf_dir, "doc_id: IN [5 100 333 9999999]")
+
+
+TERM_SET_SQL = f"""
+WITH {_TOK_CTES},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'join'))
+SELECT CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(1.0, 6) AS score
+FROM m ORDER BY doc_id ASC LIMIT 10
+"""
+
+DOCID_SET_SQL = f"""
+WITH {_TOK_CTES}
+SELECT CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(1.0, 6) AS score
+FROM dl WHERE doc_id IN (5, 100, 333, 9999999)
+ORDER BY doc_id ASC LIMIT 10
+"""
+
+
 def q_bm25_phrase_slop(spark, sf_dir):
     """Sloppy phrase (`"a b"~N`) through the blocked scale path: the
     phrase-block restriction, positions decode, and the tantivy greedy

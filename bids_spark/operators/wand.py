@@ -96,7 +96,15 @@ from bids_spark.functions.hashing import term_bucket
 from bids_spark.operators import chunkgrid
 from bids_spark.operators.blocked_index import BlockedIndex
 from bids_spark.operators.codec import decode_block, decode_block_positions
-from bids_spark.plans.parser import All, Bool, Phrase, Range, Term, parse_query
+from bids_spark.plans.parser import (
+    All,
+    Bool,
+    DocIdSet,
+    Phrase,
+    Range,
+    Term,
+    parse_query,
+)
 from bids_spark.plans.planner import BooleanEvaluator, eval_phrase
 
 _DECODED = T.StructType(
@@ -327,6 +335,14 @@ class BlockedSearchEngine(BooleanEvaluator):
 
     def _eval_bool(self, b: Bool) -> DataFrame:
         rngs = [m for m in b.must if isinstance(m, Range)]
+        # a must doc_id-set implies the range [min(ids), max(ids)] —
+        # a sound superset, so the same block skipping applies (the
+        # set filter itself still runs in _eval_docidset)
+        rngs += [
+            Range(min(m.ids), max(m.ids))
+            for m in b.must
+            if isinstance(m, DocIdSet) and m.ids
+        ]
         if not rngs:
             return super()._eval_bool(b)
         # intersect this Bool's must-ranges with any enclosing context;
@@ -420,6 +436,23 @@ class BlockedSearchEngine(BooleanEvaluator):
         idf_sum = sum(float(m["idf"]) for m in meta.values())
         return eval_phrase(
             decoded, self._doclens(), n_docs, avgdl, p, idf_sum=idf_sum
+        )
+
+    def _eval_termset(self, ts) -> DataFrame:
+        """Set query (TermSetQuery): ONE bucket+term-pruned scan over
+        all member terms (the generic hook would issue a scan per
+        term), decode → distinct doc ids → constant 1.0.  Catalyst
+        prunes the unused score expression from the decode; the
+        segmented engine's _decode override anti-joins tombstones; an
+        enclosing must-range skips non-overlapping blocks first."""
+        if not ts.terms:
+            return self._empty()
+        blocks = self._apply_range_ctx(self._term_blocks(list(ts.terms)))
+        return (
+            self._decode(blocks)
+            .select("doc_id")
+            .distinct()
+            .select("doc_id", F.lit(1.0).alias("score"))
         )
 
     def _empty_scores(self) -> DataFrame:

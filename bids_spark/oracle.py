@@ -16,7 +16,16 @@ from collections import Counter
 
 from bids_spark import B, K1
 from bids_spark.functions.text import tokenize_query
-from bids_spark.plans.parser import All, Bool, Phrase, Range, Term, parse_query
+from bids_spark.plans.parser import (
+    All,
+    Bool,
+    DocIdSet,
+    Phrase,
+    Range,
+    Term,
+    TermSet,
+    parse_query,
+)
 
 
 def tokenize(text: str) -> list[str]:
@@ -107,6 +116,16 @@ class OracleIndex:
             }
         if isinstance(node, All):
             return {d: 1.0 for d in self.dl}
+        if isinstance(node, TermSet):
+            # constant scorer: any member term present
+            return {
+                d: 1.0
+                for d, c in self.tf.items()
+                if any(t in c for t in node.terms)
+            }
+        if isinstance(node, DocIdSet):
+            ids = set(node.ids)
+            return {d: 1.0 for d in self.dl if d in ids}
         assert isinstance(node, Bool)
         if not node.must and not node.should:
             return {}

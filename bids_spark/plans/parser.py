@@ -34,6 +34,13 @@ exposes (`index.parse_query(q, ["content"])` at
       are NOT supported — documented divergence, ValueError.
     - `*`                       → match-all (tantivy AllQuery), 1.0 ×
       boost per doc.
+    - `content: IN [a b c]` / bare `IN [a b c]` → set query (tantivy's
+      IN grammar → TermSetQuery): constant scorer, 1.0 × boost per
+      live doc containing ANY of the single-token values (multi-token
+      values are parse errors; empty set matches nothing).
+      `doc_id: IN [1 2 3]` is the fast-field variant, like Range.
+      The spaced form is required (`field: IN [...]` — tantivy's own
+      spelling); glued `field:IN [...]` is a loud parse error.
     - `content:term` / `content:"a b"` → field-scoped query.  The
       schema declares exactly one text field (`content`, the parse
       default at bids/index.py:147), so scoping to it is the identity;
@@ -96,6 +103,25 @@ class All:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class TermSet:
+    """`content: IN [a b c]` / bare `IN [a b c]` (tantivy's set-query
+    grammar → TermSetQuery).  Constant scorer: 1.0 × boost per live
+    doc containing ANY of the terms.  Empty set matches nothing."""
+
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DocIdSet:
+    """`doc_id: IN [1 2 3]` — set query on the indexed i64 doc_id
+    fast field.  Constant scorer, like Range."""
+
+    ids: tuple[int, ...]
+    boost: float = 1.0
+
+
 @dataclass
 class Bool:
     must: list = field(default_factory=list)
@@ -111,6 +137,7 @@ _LEXER = re.compile(
     (?P<plus>\+) | (?P<minus>-) |
     (?P<phrase>"[^"]*") |
     (?P<range>[A-Za-z_][A-Za-z0-9_]*:[\[{][^\]}]*[\]}]) |
+    (?P<inset>\bIN\s*\[[^\]]*\]) |
     (?P<word>[^\s()+\-"]+)
     """,
     re.VERBOSE,
@@ -182,7 +209,8 @@ class _Parser:
                 right = self._and_expr()
                 if right is not None:
                     parts.append(right)
-            elif kind in ("lparen", "phrase", "word", "range", "plus", "minus"):
+            elif kind in ("lparen", "phrase", "word", "range", "inset",
+                          "plus", "minus"):
                 # implicit adjacency → should (tantivy default)
                 nxt = self._and_expr()
                 if nxt is not None:
@@ -276,6 +304,43 @@ class _Parser:
         return node
 
     @staticmethod
+    def _parse_inset(fld: str, val: str):
+        """`field: IN [v1 v2 ...]` → TermSet (content) or DocIdSet
+        (doc_id).  Values are whitespace-separated; content values run
+        through the query tokenizer and must stay single tokens
+        (multi-token values would silently change the query shape —
+        rejected, same policy as the fuzzy mis-parse).  An empty set
+        matches nothing (tantivy TermSetQuery with no terms)."""
+        body = val.strip()[2:].strip()  # drop leading IN
+        assert body.startswith("[") and body.endswith("]"), val
+        raw = body[1:-1].split()
+        fld = fld.lower()
+        if fld == "doc_id":
+            try:
+                ids = tuple(sorted({int(v) for v in raw}))
+            except ValueError:
+                raise ValueError(
+                    f"doc_id IN values must be integers: {val!r}"
+                ) from None
+            return DocIdSet(ids)
+        if fld not in FIELDS:
+            raise ValueError(
+                f"unknown field '{fld}' in set query "
+                f"(declared fields: {', '.join(sorted(FIELDS))}, doc_id)"
+            )
+        terms = []
+        for v in raw:
+            toks = tokenize_query(v)
+            if len(toks) > 1:
+                raise ValueError(
+                    f"set-query value {v!r} tokenizes to multiple terms "
+                    f"({toks}) — use single-token values"
+                )
+            if toks:
+                terms.append(toks[0])
+        return TermSet(tuple(sorted(set(terms))))
+
+    @staticmethod
     def _parse_range(val: str) -> Range:
         m = re.fullmatch(
             r"([A-Za-z_][A-Za-z0-9_]*):([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])",
@@ -321,6 +386,10 @@ class _Parser:
             return self._maybe_boost(node)
         if kind == "range":
             return self._maybe_boost(self._parse_range(val))
+        if kind == "inset":
+            # bare `IN [a b c]` — default field (content), tantivy's
+            # QueryParser default-field behaviour
+            return self._maybe_boost(self._parse_inset("content", val))
         if kind == "word":
             boost = None
             if "^" in val:
@@ -359,6 +428,17 @@ class _Parser:
                 # like tantivy's QueryParser on an undeclared field
                 # (users must quote URLs: "\"http://example.com\"")
                 return self._tokens_atom(val)
+            if not rest and self.peek()[0] == "inset":
+                # `field: IN [v1 v2 ...]` — the colon ended the word
+                # token; _parse_inset validates the field itself
+                _, ival = self.next()
+                return self._parse_inset(fld, ival)
+            if rest == "IN" and self.peek()[0] == "word" and \
+                    self.peek()[1].startswith("["):
+                raise ValueError(
+                    f"malformed set query near {val!r} — write it "
+                    f"spaced: '{fld}: IN [a b c]'"
+                )
             if fld.lower() not in FIELDS:
                 raise ValueError(
                     f"unknown field '{fld}' in query "

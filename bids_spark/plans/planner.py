@@ -38,7 +38,16 @@ from bids_spark.operators.index_build import (
     scored_postings,
     term_stats,
 )
-from bids_spark.plans.parser import All, Bool, Phrase, Range, Term, parse_query
+from bids_spark.plans.parser import (
+    All,
+    Bool,
+    DocIdSet,
+    Phrase,
+    Range,
+    Term,
+    TermSet,
+    parse_query,
+)
 
 
 def _phrase_tf_slop_df(postings_pos: DataFrame, p: Phrase) -> DataFrame:
@@ -197,6 +206,29 @@ class BooleanEvaluator:
             "doc_id", F.lit(1.0).alias("score")
         )
 
+    def _eval_termset(self, ts: TermSet) -> DataFrame:
+        """Constant scorer: 1.0 per live doc containing ANY member
+        term (tantivy TermSetQuery).  Default path reuses _eval_term —
+        every engine's block pruning / decode / tombstone machinery
+        applies for free; the blocked engine overrides with a single
+        multi-term scan."""
+        if not ts.terms:
+            return self._empty_scores()
+        out = self._eval_term(Term(ts.terms[0])).select("doc_id")
+        for t in ts.terms[1:]:
+            out = out.unionByName(self._eval_term(Term(t)).select("doc_id"))
+        return out.distinct().select("doc_id", F.lit(1.0).alias("score"))
+
+    def _eval_docidset(self, s: DocIdSet) -> DataFrame:
+        """Constant scorer over the doc_id fast field, like Range."""
+        if not s.ids:
+            return self._empty_scores()
+        return (
+            self._doc_universe()
+            .filter(F.col("doc_id").isin([int(i) for i in s.ids]))
+            .select("doc_id", F.lit(1.0).alias("score"))
+        )
+
     def _eval(self, node) -> DataFrame:
         if isinstance(node, Term):
             df = self._eval_term(node)
@@ -206,6 +238,10 @@ class BooleanEvaluator:
             df = self._eval_range(node)
         elif isinstance(node, All):
             df = self._eval_all(node)
+        elif isinstance(node, TermSet):
+            df = self._eval_termset(node)
+        elif isinstance(node, DocIdSet):
+            df = self._eval_docidset(node)
         elif isinstance(node, Bool):
             df = self._eval_bool(node)
         else:

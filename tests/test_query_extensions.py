@@ -25,7 +25,16 @@ from bids_spark.operators.blocked_index import BlockedIndex
 from bids_spark.operators.segments import SegmentedIndex
 from bids_spark.operators.wand import BlockedSearchEngine
 from bids_spark.oracle import OracleIndex
-from bids_spark.plans.parser import All, Bool, Phrase, Range, Term, parse_query
+from bids_spark.plans.parser import (
+    All,
+    Bool,
+    DocIdSet,
+    Phrase,
+    Range,
+    Term,
+    TermSet,
+    parse_query,
+)
 from bids_spark.plans.planner import SearchEngine
 
 # ---------------------------------------------------------------------------
@@ -113,6 +122,37 @@ def test_parse_all_boost():
     assert parse_query("*^2").should == [All(2.0)]
 
 
+def test_parse_term_set():
+    b = parse_query("content: IN [merge join]")
+    assert b.should == [TermSet(("join", "merge"))]
+    # bare IN uses the default field
+    assert parse_query("IN [merge join]").should == [TermSet(("join", "merge"))]
+
+
+def test_parse_docid_set():
+    assert parse_query("doc_id: IN [3 1 2]").should == [DocIdSet((1, 2, 3))]
+
+
+def test_parse_set_boost_and_empty():
+    assert parse_query("IN [merge]^2").should == [TermSet(("merge",), 2.0)]
+    assert parse_query("IN []").should == [TermSet(())]
+
+
+def test_parse_set_errors():
+    with pytest.raises(ValueError):
+        parse_query("doc_id: IN [1 x]")
+    with pytest.raises(ValueError):
+        parse_query("title: IN [a]")
+    with pytest.raises(ValueError):
+        parse_query("content:IN [a b]")  # glued form: loud error
+    with pytest.raises(ValueError):
+        parse_query("content: IN [foo.bar]")  # multi-token value
+
+
+def test_parse_lowercase_in_still_a_term():
+    assert parse_query("in data").should == [Term("in"), Term("data")]
+
+
 def test_parse_plain_queries_unchanged():
     # no boost/range syntax → identical ASTs to before (defaults == 1.0)
     assert parse_query("merge join").should == [Term("merge"), Term("join")]
@@ -146,6 +186,13 @@ QUERIES = [
     '"the data"~4 AND merge',             # sloppy phrase under a must
     '"merge join"~1^2',                   # slop + boost
     '"merge join sort"~3',                # 3-term sloppy phrase
+    "content: IN [merge join]",           # term-set query (constant scorer)
+    "IN [dup hash]^2 data",               # bare IN (default field) + boost
+    "data AND content: IN [merge join]",  # set under a must
+    "doc_id: IN [5 100 333]",             # fast-field set
+    "data AND doc_id: IN [100 150 200]",  # must doc_id set (block-skip ctx)
+    "* -content: IN [the a]",             # set as must_not
+    "content: IN [zzznope]",              # set of absent terms → empty
 ]
 
 
@@ -330,3 +377,11 @@ def test_segmented_all_respects_tombstones(spark, docs, tmp_path_factory):
     ranged = {r["doc_id"]
               for r in eng.search("doc_id:[99 TO 102]", 10).collect()}
     assert ranged == {99, 102}
+    # set queries exclude tombstoned docs too: term sets through the
+    # decode anti-join, doc_id sets through the _live seam
+    idset = {r["doc_id"]
+             for r in eng.search("doc_id: IN [99 100 101 102]", 10).collect()}
+    assert idset == {99, 102}
+    tset = {r["doc_id"]
+            for r in eng.search("content: IN [data merge]", 1000).collect()}
+    assert tset and 100 not in tset and 101 not in tset

@@ -92,6 +92,13 @@ PHRASE_QUERIES = [
     '"t3x t3y"',      # topic-topic, matches exist: decode confined to band 3
     '"data t3x"',     # head+topic: data's positions blocks pruned to band 3
     '"t1x t9y"',      # disjoint bands: proved empty, ZERO positions decode
+    # sloppy variants ("a b"~N, functions/slop.py): the restriction is
+    # member-based so it prunes identically; what these rows add is the
+    # slop UDF's cost on the restricted decode at 3M docs, and that a
+    # disjoint-band phrase is STILL proved empty regardless of slop
+    '"merge join"~2',
+    '"data t3x"~2',
+    '"t1x t9y"~4',
 ]
 
 
