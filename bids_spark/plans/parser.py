@@ -41,6 +41,12 @@ exposes (`index.parse_query(q, ["content"])` at
       `doc_id: IN [1 2 3]` is the fast-field variant, like Range.
       The spaced form is required (`field: IN [...]` — tantivy's own
       spelling); glued `field:IN [...]` is a loud parse error.
+    - prefix syntax is REJECTED loudly: `term*` would otherwise
+      silently drop the star (searching fewer docs than asked), and
+      `"a b"*` (tantivy PhrasePrefixQuery) would silently lex the star
+      as a separate match-all atom (searching EVERYTHING).  Like fuzzy,
+      prefix expansion semantics can't be verified against the
+      reference stack here — documented divergence, not a silent one.
     - `content:term` / `content:"a b"` → field-scoped query.  The
       schema declares exactly one text field (`content`, the parse
       default at bids/index.py:147), so scoping to it is the identity;
@@ -135,7 +141,7 @@ _LEXER = re.compile(
     (?P<lparen>\() | (?P<rparen>\)) |
     (?P<and>\bAND\b) | (?P<or>\bOR\b) |
     (?P<plus>\+) | (?P<minus>-) |
-    (?P<phrase>"[^"]*") |
+    (?P<phrase>"[^"]*"\*?) |
     (?P<range>[A-Za-z_][A-Za-z0-9_]*:[\[{][^\]}]*[\]}]) |
     (?P<inset>\bIN\s*\[[^\]]*\]) |
     (?P<word>[^\s()+\-"]+)
@@ -382,6 +388,16 @@ class _Parser:
                 self.next()
             return self._maybe_boost(inner)
         if kind == "phrase":
+            if val.endswith("*"):
+                # tantivy PhrasePrefixQuery syntax.  Before this guard
+                # the trailing * lexed as a SEPARATE match-all atom, so
+                # "a b"* silently became (phrase OR everything) — worse
+                # than rejecting.  A spaced `"a b" *` still means
+                # phrase-OR-all (two atoms, tantivy reads it the same).
+                raise ValueError(
+                    'phrase-prefix queries ("a b"*) are not supported '
+                    "— expand the prefix into explicit terms"
+                )
             node = self._maybe_slop(self._tokens_atom(val.strip('"')))
             return self._maybe_boost(node)
         if kind == "range":
@@ -408,6 +424,15 @@ class _Parser:
         return None
 
     def _word_atom(self, val: str):
+        if val.endswith("*") and val != "*":
+            # prefix-term syntax (data*): the tokenizer would silently
+            # strip the star and search the bare term — narrower
+            # results than the user asked for.  Reject loudly.
+            raise ValueError(
+                f"prefix term queries ({val!r}) are not supported — "
+                "spell out the terms or use a set query "
+                "(content: IN [a b c])"
+            )
         if re.search(r"~\d+$", val) and not val.startswith("~"):
             # tantivy fuzzy-term syntax.  Silently tokenizing it into
             # the phrase ["data","2"] (the pre-round-4 behaviour for

@@ -153,3 +153,19 @@ def test_parse_fuzzy_term_rejected_loudly():
 
 def test_parse_plain_phrase_unchanged():
     assert parse_query('"merge join"').should == [Phrase(("merge", "join"))]
+
+
+def test_parse_prefix_syntax_rejected_loudly():
+    # "a b"* previously lexed the star as a SEPARATE match-all atom —
+    # the query silently matched everything; data* silently dropped
+    # the star.  Both are loud errors now.
+    with pytest.raises(ValueError, match="phrase-prefix"):
+        parse_query('"merge join"*')
+    with pytest.raises(ValueError, match="prefix term"):
+        parse_query("data*")
+    # bare * (match-all) and boosted *^2 are unchanged
+    assert parse_query("*").should
+    assert parse_query("*^2").should[0].boost == 2.0
+    # a SPACED '"a b" *' is two atoms: phrase OR match-all (unchanged)
+    b = parse_query('"merge join" *')
+    assert len(b.should) == 2
