@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from bids_spark.io import CommitLog, ParquetTableIO, PosixRenameLog, TableIO
 from bids_spark.operators import chunkgrid
 from bids_spark.operators.blocked_index import BlockedIndex
-from bids_spark.operators.wand import BlockedSearchEngine
+from bids_spark.operators.wand import BlockedSearchEngine, lookup_expr
 
 # One-sided guards for rescaled bounds.  The rescale chain (two
 # 3-rounding score evaluations, the idf_g/idf_s division, the multiply)
@@ -759,11 +759,21 @@ class SegmentedSearchEngine(BlockedSearchEngine):
             # empty but schema-correct frame
             base = self._seg_blocks[0]
             return base.filter(F.lit(False))
-        idf_map = F.broadcast(
-            self.spark.createDataFrame(
-                [(t, m["idf"]) for t, m in meta.items()], ["term", "idf_g"]
+        # global-idf substitution source: a ≤|terms|-row lookup — CASE
+        # literal by default (one per-query broadcast-materialize job
+        # saved, and it multiplies here: the join twin plants one
+        # broadcast node under EVERY segment branch of the union),
+        # broadcast-dim twin as the executable spec.
+        idf_vals = {t: float(m["idf"]) for t, m in meta.items()}
+        if self.TINY_LOOKUP_LITERAL:
+            idf_map = None
+            idf_g_col = lookup_expr(F.col("term"), idf_vals)
+        else:
+            idf_map = F.broadcast(
+                self.spark.createDataFrame(
+                    list(idf_vals.items()), ["term", "idf_g"]
+                )
             )
-        )
         parts = []
         for i in idxs:
             blocks = self._seg_blocks[i]
@@ -775,16 +785,25 @@ class SegmentedSearchEngine(BlockedSearchEngine):
             # (+ulp guard).  Decode then recomputes scores with idf_g
             # and the global avgdl → exactly the single-index scores.
             a_up = max(1.0, self.avgdl / self._seg_avgdl[i])
+            if idf_map is None:
+                # isin(meta) reproduces the inner join's drop of any
+                # block term lacking a dictionary row (shouldn't occur)
+                tb = tb.filter(F.col("term").isin(list(idf_vals))).withColumn(
+                    "_idf_g", idf_g_col
+                )
+            else:
+                tb = tb.join(idf_map, "term").withColumnRenamed(
+                    "idf_g", "_idf_g"
+                )
             tb = (
-                tb.join(idf_map, "term")
-                .withColumn(
+                tb.withColumn(
                     "block_max_score",
                     F.col("block_max_score")
-                    * (F.col("idf_g") / F.col("idf"))
+                    * (F.col("_idf_g") / F.col("idf"))
                     * F.lit(a_up * _UP),
                 )
                 .drop("idf")
-                .withColumnRenamed("idf_g", "idf")
+                .withColumnRenamed("_idf_g", "idf")
             )
             parts.append(tb)
         out = parts[0]

@@ -199,6 +199,29 @@ def decode_blocks_positions(blocks: DataFrame) -> DataFrame:
     )
 
 
+def lookup_expr(
+    key, mapping: dict, default: float | None = None
+):
+    """O(|mapping|) CASE chain standing in for a per-query tiny
+    broadcast-dim join.  Materializing even a ≤5-row local relation as
+    a broadcast costs one extra Spark job per query (the exchange is
+    its own scheduling round-trip) — measured ~0.4 s of the ~0.9 s hot
+    single-query p50 on local[32]; at cluster scale it is one fewer
+    driver→executor broadcast per query.  The CASE is |terms| literal
+    nodes — NOT the array-literal hazard class (cf. the json-literal
+    note in _or_pruned_survivors).  `default=None` yields NULL for
+    unmapped keys; callers reproduce an inner join's drop of unmapped
+    rows with an `isin` filter (or let the NULL propagate through a
+    comparison, which also drops the row)."""
+    expr = None
+    for m, v in mapping.items():
+        w = key == F.lit(m)
+        expr = F.when(w, F.lit(v)) if expr is None else expr.when(w, F.lit(v))
+    if expr is None:
+        return F.lit(default)
+    return expr if default is None else expr.otherwise(F.lit(default))
+
+
 class BlockedSearchEngine(BooleanEvaluator):
     """Query engine over a built BlockedIndex.
 
@@ -367,10 +390,17 @@ class BlockedSearchEngine(BooleanEvaluator):
         (tiny broadcast dim; left join so unmapped terms keep 1.0)."""
         if not any(b != 1.0 for b in boosts.values()):
             return df
+        bmap = {t: float(b) for t, b in boosts.items()}
+        if self.TINY_LOOKUP_LITERAL:
+            # CASE literal == the left join's coalesce(_b, 1.0): same
+            # doubles, no broadcast materialization on a per-posting df
+            return df.withColumn(
+                "score",
+                F.col("score") * lookup_expr(F.col("term"), bmap, 1.0),
+            )
         bdf = F.broadcast(
             self.spark.createDataFrame(
-                [(t, float(b)) for t, b in boosts.items()],
-                "term string, _b double",
+                list(bmap.items()), "term string, _b double"
             )
         )
         return (
@@ -491,6 +521,15 @@ class BlockedSearchEngine(BooleanEvaluator):
     # when its budgets allow).  Auto-engages above OM_MIN_BLOCKS like
     # the aligned OR bound.
     AND_BITMAP = True
+    # Master switch (A/B-able) for per-query tiny dim lookups: True
+    # ships |terms|-row lookups (gmax, boosts, batched per-term
+    # thresholds, per-qid θ) as CASE-literal columns (lookup_expr),
+    # False keeps the broadcast-join twin as the executable spec.
+    # Identical values either way (same Python doubles become Literals
+    # either route); the literal path saves one broadcast-materialize
+    # job per query — the dominant term of the hot-query p50 floor
+    # (tools/latency_probe.py; BENCH/BASELINE.md "hot-query latency").
+    TINY_LOOKUP_LITERAL = True
     # Auto-engage threshold: the aligned bound exists to skip decode
     # I/O, and costs one extra metadata collect per cold multi-term
     # query — below this many candidate blocks (~512k postings) the
@@ -816,25 +855,16 @@ class BlockedSearchEngine(BooleanEvaluator):
                 theta = max(theta, self._probe_theta(tb, k, boosts=pboosts))
 
         # prune: drop block b iff  bm(b)·b(t) + (gsum − gmax(term(b)))
-        # < θ  (boost column only present when a boost ≠ 1)
-        if has_boost:
-            gmax_df = F.broadcast(
-                self.spark.createDataFrame(
-                    [
-                        (t, float(g), bst[t] * self._OM_UP)
-                        for t, g in gmax.items()
-                    ],
-                    ["term", "gmax", "_bb"],
-                )
-            )
-            bm_eff = F.col("block_max_score") * F.col("_bb")
-        else:
-            gmax_df = F.broadcast(
-                self.spark.createDataFrame(
-                    [(t, float(g)) for t, g in gmax.items()], ["term", "gmax"]
-                )
-            )
-            bm_eff = F.col("block_max_score")
+        # < θ  (boost column only present when a boost ≠ 1).  The
+        # (term → gmax[, _bb]) lookup is ≤|terms| rows: the literal
+        # path attaches it as CASE columns (lookup_expr — one fewer
+        # job per query), the join twin as a broadcast dim; both feed
+        # the identical `pred`.
+        bm_eff = (
+            F.col("block_max_score") * F.col("_bb")
+            if has_boost
+            else F.col("block_max_score")
+        )
         pred = bm_eff + (F.lit(gsum) - F.col("gmax")) >= F.lit(theta)
         if aligned is None:
             aligned = self.OM_ALIGNED and (
@@ -878,7 +908,41 @@ class BlockedSearchEngine(BooleanEvaluator):
                 (length > F.lit(self.OM_SLICE_CAP))
                 | (bm_eff + om >= F.lit(theta))
             )
-        survivors = tb.join(gmax_df, "term").filter(pred)
+        if self.TINY_LOOKUP_LITERAL:
+            # isin reproduces the inner join's drop of any block row
+            # whose term lacks a dictionary row (shouldn't occur)
+            lk = tb.filter(F.col("term").isin(list(gmax))).withColumn(
+                "gmax",
+                lookup_expr(F.col("term"), {t: float(g) for t, g in gmax.items()}),
+            )
+            if has_boost:
+                lk = lk.withColumn(
+                    "_bb",
+                    lookup_expr(
+                        F.col("term"),
+                        {t: bst[t] * self._OM_UP for t in gmax},
+                    ),
+                )
+            survivors = lk.filter(pred)
+        else:
+            if has_boost:
+                gmax_df = F.broadcast(
+                    self.spark.createDataFrame(
+                        [
+                            (t, float(g), bst[t] * self._OM_UP)
+                            for t, g in gmax.items()
+                        ],
+                        ["term", "gmax", "_bb"],
+                    )
+                )
+            else:
+                gmax_df = F.broadcast(
+                    self.spark.createDataFrame(
+                        [(t, float(g)) for t, g in gmax.items()],
+                        ["term", "gmax"],
+                    )
+                )
+            survivors = tb.join(gmax_df, "term").filter(pred)
         return tb, survivors, theta
 
     def _topk_or_pruned(
@@ -1445,27 +1509,31 @@ class BlockedSearchEngine(BooleanEvaluator):
                         cand = float("-inf")
                     thr[t] = min(thr.get(t, cand), cand)
             if mapping:
-                thr_df = F.broadcast(
-                    self.spark.createDataFrame(
-                        list(thr.items()), "term string, _thr double"
+                if self.TINY_LOOKUP_LITERAL:
+                    # per-term min threshold over the batch as a CASE
+                    # literal (≤|batch terms| rows; NULL for an
+                    # unmapped term drops the row like the inner join)
+                    survivors = self._term_blocks(sorted(thr)).filter(
+                        F.col("block_max_score")
+                        >= lookup_expr(F.col("term"), thr)
                     )
-                )
-                survivors = (
-                    self._term_blocks(sorted(thr))
-                    .join(thr_df, "term")
-                    .filter(F.col("block_max_score") >= F.col("_thr"))
-                    .drop("_thr")
-                )
+                else:
+                    thr_df = F.broadcast(
+                        self.spark.createDataFrame(
+                            list(thr.items()), "term string, _thr double"
+                        )
+                    )
+                    survivors = (
+                        self._term_blocks(sorted(thr))
+                        .join(thr_df, "term")
+                        .filter(F.col("block_max_score") >= F.col("_thr"))
+                        .drop("_thr")
+                    )
                 qmap = F.broadcast(
                     self.spark.createDataFrame(
                         mapping,
                         "qid string, term string"
                         + (", _qb double" if batch_boosted else ""),
-                    )
-                )
-                tdf = F.broadcast(
-                    self.spark.createDataFrame(
-                        qtheta, "qid string, _theta double"
                     )
                 )
                 scored = self._decode(survivors).join(qmap, "term")
@@ -1476,17 +1544,33 @@ class BlockedSearchEngine(BooleanEvaluator):
                     scored = scored.withColumn(
                         "score", F.col("score") * F.col("_qb")
                     ).drop("_qb")
-                scored = (
-                    scored
-                    .groupBy("qid", "doc_id")
-                    .agg(F.sum("score").alias("score"))
-                    .join(tdf, "qid")
-                    .filter(
-                        F.col("score")
-                        >= F.col("_theta") * F.lit(self._BATCH_THETA_RELIEF)
-                    )
-                    .select("qid", "doc_id", "score")
+                agg = scored.groupBy("qid", "doc_id").agg(
+                    F.sum("score").alias("score")
                 )
+                if self.TINY_LOOKUP_LITERAL:
+                    # per-qid θ as a CASE literal; an unmapped qid
+                    # yields NULL ≥-comparison → dropped, exactly the
+                    # inner join's behavior
+                    scored = agg.filter(
+                        F.col("score")
+                        >= lookup_expr(F.col("qid"), dict(qtheta))
+                        * F.lit(self._BATCH_THETA_RELIEF)
+                    ).select("qid", "doc_id", "score")
+                else:
+                    tdf = F.broadcast(
+                        self.spark.createDataFrame(
+                            qtheta, "qid string, _theta double"
+                        )
+                    )
+                    scored = (
+                        agg.join(tdf, "qid")
+                        .filter(
+                            F.col("score")
+                            >= F.col("_theta")
+                            * F.lit(self._BATCH_THETA_RELIEF)
+                        )
+                        .select("qid", "doc_id", "score")
+                    )
                 branches.append(scored)
 
         for qid, (must, should, must_not, bmap) in bool_class.items():
