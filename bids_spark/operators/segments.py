@@ -641,6 +641,7 @@ class SegmentedSearchEngine(BlockedSearchEngine):
         # here too — a term's rescaled block bounds depend only on its
         # own global idf and the fixed segment set
         self._cm_memo = {} if cache else None
+        self._ranges_memo = {} if cache else None
         self._domain_cache: tuple[int, int] | None = None
         self._range_ctx: tuple[int | None, int | None] | None = None
         # per-(term, segment) dictionary idf, stashed by _term_meta —

@@ -88,7 +88,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -251,6 +251,11 @@ class BlockedSearchEngine(BooleanEvaluator):
         # so a term's cm array never changes — memoized like the
         # dictionary rows in hot-serving mode
         self._cm_memo: dict[str, np.ndarray] | None = {} if cache else None
+        # merged doc-interval spans per term (for the rarest-term
+        # restriction predicate): index-static like the dictionary rows
+        self._ranges_memo: dict[str, tuple[list[int], list[int]]] | None = (
+            {} if cache else None
+        )
         self._domain_cache: tuple[int, int] | None = None
         # active must-range restriction for the generic path (set by
         # _eval_bool while evaluating a Bool whose musts include a
@@ -1023,13 +1028,67 @@ class BlockedSearchEngine(BooleanEvaluator):
     # (measured: q_and 5.5–9.9 s at 3M docs where plain decode+filter
     # is ~2 s) — so the PRODUCT is budgeted too.
     RANGE_JOIN_PRODUCT_BUDGET = 1 << 26
+    # Master switch (A/B-able): serve the rarest-term restriction as a
+    # pure column predicate over json-literal span arrays instead of a
+    # broadcast nested-loop semi-join.  Spans are the rarest term's
+    # block doc-intervals collected driver-side (one tiny metadata job,
+    # memoized per term in hot mode — the broadcast twin pays its
+    # materialize job EVERY query) and merged (disjoint + sorted per
+    # term; integer-adjacent merge is exact over integer doc_ids) —
+    # contiguous head-term blocks collapse to ~1 span.  The predicate
+    # is O(|spans|) per block row via a sorted-interval trick (the only
+    # span that can overlap [a, b] from the left is the LAST one with
+    # lo ≤ b — earlier spans overlapping would force that one to as
+    # well), same work class as the nested-loop join under the same
+    # PRODUCT budget.  Falls back to the join twin above
+    # RANGE_PRED_MAX_SPANS (json-literal size + per-row cost ceiling).
+    RANGE_PRED_LITERAL = True
+    RANGE_PRED_MAX_SPANS = 4096
+
+    def _term_spans(self, term: str) -> tuple[list[int], list[int]]:
+        """Merged (sorted, disjoint, integer-adjacent-collapsed) doc
+        intervals of a term's blocks: ([lo...], [hi...]).  One tiny
+        metadata collect, memoized per term in hot mode."""
+        if self._ranges_memo is not None and term in self._ranges_memo:
+            return self._ranges_memo[term]
+        rows = (
+            self._term_blocks([term])
+            .select("first_doc", "max_doc")
+            .collect()
+        )
+        spans = sorted((int(r["first_doc"]), int(r["max_doc"])) for r in rows)
+        los: list[int] = []
+        his: list[int] = []
+        for lo, hi in spans:
+            if his and lo <= his[-1] + 1:
+                his[-1] = max(his[-1], hi)
+            else:
+                los.append(lo)
+                his.append(hi)
+        if self._ranges_memo is not None:
+            self._ranges_memo[term] = (los, his)
+        return los, his
+
+    @staticmethod
+    def _interval_pred(los: list[int], his: list[int]):
+        """Column predicate: block [first_doc, max_doc] overlaps some
+        span.  Spans sorted + disjoint ⇒ overlap iff the last span
+        with lo ≤ max_doc exists and its hi ≥ first_doc (any earlier
+        overlapping span implies this one overlaps too)."""
+        lo_arr = F.from_json(F.lit(json.dumps(los)), "array<bigint>")
+        hi_arr = F.from_json(F.lit(json.dumps(his)), "array<bigint>")
+        n_le = F.size(F.filter(lo_arr, lambda x: x <= F.col("max_doc")))
+        return F.when(
+            n_le > F.lit(0),
+            F.element_at(hi_arr, n_le) >= F.col("first_doc"),
+        ).otherwise(F.lit(False))
 
     def _bool_restriction(
         self,
         must_set: list[str],
         all_terms: list[str],
         meta: dict[str, dict] | None = None,
-    ) -> tuple[bool, object | None, DataFrame | None]:
+    ) -> tuple[bool, object | None, DataFrame | Column | None]:
         """(empty, bitmap_pred, rarest_ranges) for the flat must path.
         empty=True → the intersection is provably empty from metadata
         alone (zero-postings must term, or all-False intersection
@@ -1068,31 +1127,53 @@ class BlockedSearchEngine(BooleanEvaluator):
         rarest_ranges = None
         rarest = min(must_set, key=lambda t: meta[t]["df"])
         n_rarest = int(meta[rarest].get("n_blocks") or 0)
-        if (
-            n_rarest <= self.RANGE_BROADCAST_BUDGET
-            and n_rarest * n_total <= self.RANGE_JOIN_PRODUCT_BUDGET
-        ):
-            rarest_ranges = F.broadcast(
-                self._term_blocks([rarest])
-                .select(
-                    F.col("first_doc").alias("r_lo"),
-                    F.col("max_doc").alias("r_hi"),
+        if n_rarest <= self.RANGE_BROADCAST_BUDGET:
+            if self.RANGE_PRED_LITERAL:
+                # speculative collect (one tiny metadata job, memoized
+                # hot): merging re-prices the restriction — a
+                # band-local rarest term collapses to a handful of
+                # spans, so the PRODUCT budget evaluated on the MERGED
+                # count engages restriction where the raw block count
+                # would blow it (e.g. 1.5k one-band blocks × 55k
+                # candidates fails pre-merge, but is 1 span × 55k
+                # post-merge).  Strictly more pruning coverage than
+                # the join twin; exactness unchanged (the restriction
+                # is sound at any coverage).
+                los, his = self._term_spans(rarest)
+                if (
+                    len(los) <= self.RANGE_PRED_MAX_SPANS
+                    and len(los) * n_total
+                    <= self.RANGE_JOIN_PRODUCT_BUDGET
+                ):
+                    return False, bitmap_pred, self._interval_pred(los, his)
+                # fell through: merged spans still too many — the join
+                # twin below may still fit its own (pre-merge) budgets
+            if n_rarest * n_total <= self.RANGE_JOIN_PRODUCT_BUDGET:
+                rarest_ranges = F.broadcast(
+                    self._term_blocks([rarest])
+                    .select(
+                        F.col("first_doc").alias("r_lo"),
+                        F.col("max_doc").alias("r_hi"),
+                    )
                 )
-            )
         return False, bitmap_pred, rarest_ranges
 
     @staticmethod
     def _restrict_blocks(
-        blocks: DataFrame, bitmap_pred, rarest_ranges: DataFrame | None
+        blocks: DataFrame, bitmap_pred, rarest_ranges: DataFrame | Column | None
     ) -> DataFrame:
         """Apply a _bool_restriction result to candidate blocks: the
         intersection-bitmap column filter, then the rarest-term
-        interval semi-join (both optional; both exact — see
-        _and_bitmap / _bool_restriction soundness notes)."""
+        interval restriction — a literal-span Column predicate
+        (RANGE_PRED_LITERAL) or the broadcast semi-join twin (both
+        optional; both exact — see _and_bitmap / _bool_restriction
+        soundness notes)."""
         if bitmap_pred is not None:
             blocks = blocks.filter(bitmap_pred)
         if rarest_ranges is None:
             return blocks
+        if isinstance(rarest_ranges, Column):
+            return blocks.filter(rarest_ranges)
         return blocks.join(
             rarest_ranges,
             (F.col("first_doc") <= F.col("r_hi"))
@@ -1258,12 +1339,15 @@ class BlockedSearchEngine(BooleanEvaluator):
         bm = tb.filter(bitmap_pred) if bitmap_pred is not None else tb
         out["bitmap"] = count(bm)
         if rarest_ranges is not None:
-            bm = bm.join(
-                rarest_ranges,
-                (F.col("first_doc") <= F.col("r_hi"))
-                & (F.col("max_doc") >= F.col("r_lo")),
-                "left_semi",
-            )
+            if isinstance(rarest_ranges, Column):
+                bm = bm.filter(rarest_ranges)
+            else:
+                bm = bm.join(
+                    rarest_ranges,
+                    (F.col("first_doc") <= F.col("r_hi"))
+                    & (F.col("max_doc") >= F.col("r_lo")),
+                    "left_semi",
+                )
         out["combined"] = count(bm)
         return out
 

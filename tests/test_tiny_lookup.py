@@ -179,3 +179,107 @@ def test_lookup_expr_semantics(spark):
     assert df.select(
         lookup_expr(F.col("k"), {}, 3.0).alias("v")
     ).first()["v"] == 3.0
+
+
+# -- rarest-term restriction: literal span predicate vs join twin ------------
+#
+# Same scheduling story as the CASE lookups: the broadcast semi-join
+# twin materializes the rarest term's block intervals as a broadcast
+# EVERY query (1 job on AND shapes, 2 on phrases); the literal path
+# collects+merges them once (memoized hot) and restricts via a pure
+# column predicate.  Identical survivor sets required — the counters
+# prove it, not just the top-k.
+
+RESTRICT_QUERIES = [
+    "merge AND join",
+    "merge AND join AND data",
+    '"merge join"',
+    "(merge AND join) OR data",
+    "t1x AND data",          # skewed must: rarest term lives in one band
+]
+
+
+@pytest.mark.parametrize("q", RESTRICT_QUERIES)
+def test_rarest_literal_vs_join_blocked(eng, q):
+    try:
+        eng.RANGE_PRED_LITERAL = True
+        lit = _top(eng, q)
+        eng.RANGE_PRED_LITERAL = False
+        join = _top(eng, q)
+    finally:
+        del eng.RANGE_PRED_LITERAL
+    assert lit == join
+    assert lit, q
+
+
+@pytest.mark.parametrize("q", ["merge AND join", "t1x AND data"])
+def test_rarest_literal_vs_join_segmented(seg_eng, q):
+    try:
+        seg_eng.RANGE_PRED_LITERAL = True
+        lit = _top(seg_eng, q)
+        seg_eng.RANGE_PRED_LITERAL = False
+        join = _top(seg_eng, q)
+    finally:
+        del seg_eng.RANGE_PRED_LITERAL
+    assert lit == join
+    assert lit, q
+
+
+def test_rarest_restriction_counters_identical(eng):
+    """and_pruning_stats survivor counters — the deterministic pruning
+    evidence — must not move between mechanisms."""
+    for q in ["merge AND join", "t1x AND data", '"merge join"']:
+        try:
+            eng.RANGE_PRED_LITERAL = True
+            lit = eng.and_pruning_stats(q)
+            eng.RANGE_PRED_LITERAL = False
+            join = eng.and_pruning_stats(q)
+        finally:
+            del eng.RANGE_PRED_LITERAL
+        assert lit == join, q
+        assert lit["blocks_total"] > 0
+
+
+def test_term_spans_merge(eng):
+    """Spans are sorted, disjoint, non-adjacent, and cover exactly the
+    term's block intervals (integer-adjacent merging is a no-op over
+    integer doc_ids)."""
+    los, his = eng._term_spans("data")
+    assert los and len(los) == len(his)
+    assert all(lo <= hi for lo, hi in zip(los, his))
+    assert all(his[i] + 1 < los[i + 1] for i in range(len(los) - 1))
+    blocks = (
+        eng._term_blocks(["data"]).select("first_doc", "max_doc").collect()
+    )
+    covered = set()
+    for lo, hi in zip(los, his):
+        covered.update(range(lo, hi + 1))
+    for r in blocks:
+        for d in (int(r["first_doc"]), int(r["max_doc"])):
+            assert d in covered
+    # memoized (cache=True engine): second call returns the same object
+    assert eng._term_spans("data") is eng._term_spans("data")
+
+
+def test_interval_pred_matches_bruteforce(spark):
+    """_interval_pred vs per-row any-overlap brute force on a grid of
+    block intervals against irregular spans (gaps, singletons, ends)."""
+    los, his = [0, 10, 25, 40], [3, 18, 25, 49]
+    rows = [
+        (a, b)
+        for a in range(0, 55, 3)
+        for b in (a, a + 2, a + 7, a + 20)
+    ]
+    df = spark.createDataFrame(rows, "first_doc bigint, max_doc bigint")
+    got = {
+        (r["first_doc"], r["max_doc"])
+        for r in df.filter(
+            BlockedSearchEngine._interval_pred(los, his)
+        ).collect()
+    }
+    want = {
+        (a, b)
+        for a, b in rows
+        if any(lo <= b and hi >= a for lo, hi in zip(los, his))
+    }
+    assert got == want
