@@ -1044,6 +1044,10 @@ class BlockedSearchEngine(BooleanEvaluator):
     # RANGE_PRED_MAX_SPANS (json-literal size + per-row cost ceiling).
     RANGE_PRED_LITERAL = True
     RANGE_PRED_MAX_SPANS = 4096
+    # Master switch (A/B-able): evaluate must_not inside the main
+    # decode aggregation (one scan, one shuffle) instead of a second
+    # decode + doc_id anti-join.  See the fused-NOT note in _topk_bool.
+    NOT_FUSED = True
 
     def _term_spans(self, term: str) -> tuple[list[int], list[int]]:
         """Merged (sorted, disjoint, integer-adjacent-collapsed) doc
@@ -1198,23 +1202,56 @@ class BlockedSearchEngine(BooleanEvaluator):
             return self._restrict_blocks(blocks, bitmap_pred, rarest_ranges)
 
         pos_terms = list(dict.fromkeys(must + should))
-        scored = self._decode(restrict(self._term_blocks(pos_terms)))
+        neg_set = sorted(set(must_not))
+        # Fused NOT: decode positive AND negative terms in ONE pruned
+        # scan and exclude flagged docs in the SAME aggregation,
+        # instead of a second decode + doc_id anti-join (one fewer
+        # scan and one fewer shuffle at any scale).  Exactness: the
+        # score sums only positive rows (the WHEN yields NULL for neg
+        # rows, F.sum skips NULLs), and a doc is dropped iff it has
+        # ANY neg posting — exactly the anti-join's semantics; the
+        # block restriction was already soundly applied to the neg
+        # scan (a candidate doc's neg block overlaps the doc itself,
+        # hence the must intervals/chunks at it).  FP sum order may
+        # differ from the two-scan plan (more rows interleaved) —
+        # within Spark's existing partial-agg nondeterminism envelope.
+        fuse_neg = bool(neg_set) and self.NOT_FUSED
+        scan_terms = (
+            pos_terms + [t for t in neg_set if t not in pos_terms]
+            if fuse_neg
+            else pos_terms
+        )
+        scored = self._decode(restrict(self._term_blocks(scan_terms)))
         if boosts:
             # per-posting boost multiply; the term column survives for
             # the matched-must count below
             scored = self._apply_boosts(scored, boosts)
-        agg = scored.groupBy("doc_id").agg(
-            F.sum("score").alias("score"),
+        score_in = (
+            F.when(F.col("term").isin(pos_terms), F.col("score"))
+            if fuse_neg
+            else F.col("score")
+        )
+        aggs = [
+            F.sum(score_in).alias("score"),
             F.count_distinct(
                 F.when(F.col("term").isin(must_set), F.col("term"))
             ).alias("_nm"),
-        )
+        ]
+        if fuse_neg:
+            aggs.append(
+                F.max(
+                    F.when(F.col("term").isin(neg_set), F.lit(1))
+                ).alias("_neg")
+            )
+        agg = scored.groupBy("doc_id").agg(*aggs)
         if must:
             agg = agg.filter(F.col("_nm") == len(must_set))
+        if fuse_neg:
+            agg = agg.filter(F.col("_neg").isNull())
         agg = agg.select("doc_id", "score")
-        if must_not:
+        if must_not and not fuse_neg:
             neg = self._decode(
-                restrict(self._term_blocks(list(set(must_not))))
+                restrict(self._term_blocks(neg_set))
             ).select("doc_id").distinct()
             agg = agg.join(neg, "doc_id", "left_anti")
         return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -283,3 +283,69 @@ def test_interval_pred_matches_bruteforce(spark):
         if any(lo <= b and hi >= a for lo, hi in zip(los, his))
     }
     assert got == want
+
+
+# -- fused NOT: must_not inside the main aggregation vs anti-join twin -------
+
+NOT_QUERIES = [
+    "merge -join",
+    "merge join -data",
+    "merge AND join -data",       # must + not
+    "merge^2 -join",              # boosted positive with exclusion
+    "data -zzznotaterm",          # absent neg term: no-op exclusion
+    "merge -merge",               # pos == neg: provably empty
+]
+
+
+def _top9(engine, q, k=10):
+    # round like the established parity suites: the fused plan may sum
+    # partials in a different order (documented envelope)
+    return [
+        (r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in engine.search(q, k).collect()
+    ]
+
+
+@pytest.mark.parametrize("q", NOT_QUERIES)
+def test_not_fused_vs_antijoin_blocked(eng, q):
+    try:
+        eng.NOT_FUSED = True
+        fused = _top9(eng, q)
+        eng.NOT_FUSED = False
+        twin = _top9(eng, q)
+    finally:
+        del eng.NOT_FUSED
+    assert fused == twin
+    if q != "merge -merge":
+        assert fused, q
+    else:
+        assert fused == []
+
+
+@pytest.mark.parametrize("q", ["merge -join", "merge AND join -data"])
+def test_not_fused_vs_antijoin_segmented(seg_eng, q):
+    try:
+        seg_eng.NOT_FUSED = True
+        fused = _top9(seg_eng, q)
+        seg_eng.NOT_FUSED = False
+        twin = _top9(seg_eng, q)
+    finally:
+        del seg_eng.NOT_FUSED
+    assert fused == twin
+    assert fused, q
+
+
+def test_not_fused_excludes_exactly(eng, drifted):
+    """Ground truth from the corpus: no result doc contains the
+    excluded term; every top-k doc of the unexcluded query that lacks
+    it is preserved in order."""
+    from pyspark.sql import functions as F2
+
+    with_neg = {
+        r["doc_id"]
+        for r in drifted.filter(
+            F2.col("text").rlike(r"(?i)(^|[^\p{L}\p{N}])join($|[^\p{L}\p{N}])")
+        ).select("doc_id").collect()
+    }
+    got = [r["doc_id"] for r in eng.search("merge -join", 50).collect()]
+    assert got and not (set(got) & with_neg)
