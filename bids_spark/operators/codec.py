@@ -186,6 +186,24 @@ def decode_block_positions(
     return d, t, s, p
 
 
+def decode_block_positions_dl(
+    payload: bytes, first_doc: int
+) -> tuple[
+    np.ndarray,
+    np.ndarray,
+    np.ndarray | None,
+    np.ndarray | None,
+    np.ndarray | None,
+]:
+    """→ (doc_ids, tfs, scores-or-None [dl-mode], flat positions or
+    None, dls-or-None [f64-mode]).  The dl column lets the fused
+    phrase path (plans.planner.eval_phrase_fused) score straight from
+    the block payload instead of joining the doclens table — dl-mode
+    blocks store the exact doc length per posting, the same value the
+    doclens table holds."""
+    return _decode(payload, first_doc, want_positions=True)
+
+
 def _decode(payload: bytes, first_doc: int, want_positions: bool):
     n = int(np.frombuffer(payload[:2], dtype="<u2")[0])
     wd, wt, wpf, wpd, wl = (

@@ -1040,21 +1040,19 @@ class SegmentedSearchEngine(BlockedSearchEngine):
     def _stats(self) -> tuple[int, float]:
         return self._stats_cache
 
-    def _eval_phrase(self, p):
-        if not self._seg_has_pos:
-            raise NotImplementedError(
-                "all segments must be built with_positions=True for "
-                "phrase queries"
-            )
-        from bids_spark.operators.wand import decode_blocks_positions
-        from bids_spark.plans.planner import eval_phrase
+    def _has_positions(self) -> bool:
+        """Parent seam: phrases need positions in EVERY segment."""
+        return self._seg_has_pos
 
-        uniq = list(dict.fromkeys(p.terms))
-        decoded = decode_blocks_positions(self._term_blocks(uniq))
+    def _decode_positions(self, blocks):
+        """Parent seam: tombstoned docs dropped right after the
+        positions decode, like _decode.  Routing phrases through the
+        parent's _eval_phrase (instead of the pre-round-4 override)
+        also gives segmented phrases the member-conjunction block
+        restriction (bitmap + rarest-term spans) and the fused
+        single-aggregation evaluation — segments are always dl-mode
+        (enforced in __init__), so the payload dl is always there."""
+        out = super()._decode_positions(blocks)
         if self._tomb is not None:
-            decoded = decoded.join(self._tomb, "doc_id", "left_anti")
-        n_docs, avgdl = self._stats()
-        idf_sum = sum(float(m["idf"]) for m in self._term_meta(uniq).values())
-        return eval_phrase(
-            decoded, self._doclens(), n_docs, avgdl, p, idf_sum=idf_sum
-        )
+            out = out.join(self._tomb, "doc_id", "left_anti")
+        return out

@@ -95,7 +95,7 @@ from pyspark.sql import types as T
 from bids_spark.functions.hashing import term_bucket
 from bids_spark.operators import chunkgrid
 from bids_spark.operators.blocked_index import BlockedIndex
-from bids_spark.operators.codec import decode_block, decode_block_positions
+from bids_spark.operators.codec import decode_block, decode_block_positions_dl
 from bids_spark.plans.parser import (
     All,
     Bool,
@@ -105,7 +105,11 @@ from bids_spark.plans.parser import (
     Term,
     parse_query,
 )
-from bids_spark.plans.planner import BooleanEvaluator, eval_phrase
+from bids_spark.plans.planner import (
+    BooleanEvaluator,
+    eval_phrase,
+    eval_phrase_fused,
+)
 
 _DECODED = T.StructType(
     [
@@ -120,6 +124,10 @@ _DECODED_POS = T.StructType(
         T.StructField("term", T.StringType()),
         T.StructField("doc_id", T.LongType()),
         T.StructField("positions", T.ArrayType(T.IntegerType())),
+        # exact doc length from the block payload (dl-mode blocks; NULL
+        # on f64-mode blocks) — lets the fused phrase path skip the
+        # doclens-table join entirely
+        T.StructField("dl", T.LongType()),
     ]
 )
 
@@ -158,11 +166,13 @@ def _decode_pos_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         if pdf.empty:
             continue
-        terms, docs, plists = [], [], []
+        terms, docs, plists, dl_parts = [], [], [], []
         for term, first_doc, payload in zip(
             pdf["term"], pdf["first_doc"], pdf["payload"]
         ):
-            d, tfs, _s, flat = decode_block_positions(bytes(payload), int(first_doc))
+            d, tfs, _s, flat, dls = decode_block_positions_dl(
+                bytes(payload), int(first_doc)
+            )
             if flat is None:
                 raise ValueError(
                     "block has no positions section — rebuild the index "
@@ -174,11 +184,23 @@ def _decode_pos_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             )
             docs.append(d)
             terms.append(np.full(len(d), term, dtype=object))
+            dl_parts.append(
+                dls
+                if dls is not None
+                # f64-mode block: no dl in the payload → NULL column
+                else np.full(len(d), None, dtype=object)
+            )
         yield pd.DataFrame(
             {
                 "term": np.concatenate(terms),
                 "doc_id": np.concatenate(docs),
                 "positions": pd.Series(plists, dtype=object),
+                "dl": pd.Series(
+                    np.concatenate(
+                        [np.asarray(p, dtype=object) for p in dl_parts]
+                    ),
+                    dtype=object,
+                ),
             }
         )
 
@@ -430,8 +452,13 @@ class BlockedSearchEngine(BooleanEvaluator):
         blocks = self._apply_range_ctx(self._term_blocks([t.term]))
         return self._decode(blocks).select("doc_id", "score")
 
+    def _has_positions(self) -> bool:
+        """Positions-availability seam (ALL segments must carry them in
+        the segmented override)."""
+        return self.index.has_positions
+
     def _eval_phrase(self, p: Phrase) -> DataFrame:
-        if not self.index.has_positions:
+        if not self._has_positions():
             raise NotImplementedError(
                 "this blocked index stores no positions; rebuild with "
                 "with_positions=True (or use the naive SearchEngine) "
@@ -465,13 +492,28 @@ class BlockedSearchEngine(BooleanEvaluator):
         # an enclosing must-range skips non-overlapping blocks before
         # the positions decode (same soundness as _eval_term)
         blocks = self._apply_range_ctx(blocks)
-        decoded = decode_blocks_positions(blocks)
+        decoded = self._decode_positions(blocks)
         n_docs, avgdl = self._stats()
         # phrase idf = Σ distinct member idfs — from the term dictionary
         idf_sum = sum(float(m["idf"]) for m in meta.values())
+        if self.PHRASE_FUSED and self._phrase_dl_available():
+            # dl-mode payloads carry the exact doc length per posting:
+            # ONE decode scan + ONE aggregation, no doclens join (twin
+            # kept below — f64-mode indexes and the A/B switch)
+            return eval_phrase_fused(decoded, avgdl, p, idf_sum=idf_sum)
         return eval_phrase(
             decoded, self._doclens(), n_docs, avgdl, p, idf_sum=idf_sum
         )
+
+    def _decode_positions(self, blocks: DataFrame) -> DataFrame:
+        """Positions-decode seam (tombstones anti-joined in the
+        segmented override, like _decode)."""
+        return decode_blocks_positions(blocks)
+
+    def _phrase_dl_available(self) -> bool:
+        """True iff every positions payload this engine decodes carries
+        dl (score_mode=='dl') — the fused phrase path's requirement."""
+        return self.index.score_mode == "dl"
 
     def _eval_termset(self, ts) -> DataFrame:
         """Set query (TermSetQuery): ONE bucket+term-pruned scan over
@@ -1048,6 +1090,11 @@ class BlockedSearchEngine(BooleanEvaluator):
     # decode aggregation (one scan, one shuffle) instead of a second
     # decode + doc_id anti-join.  See the fused-NOT note in _topk_bool.
     NOT_FUSED = True
+    # Master switch (A/B-able): evaluate phrases as ONE decode scan +
+    # ONE groupBy(doc_id) aggregation scoring from the payload's dl
+    # column (dl-mode indexes only), instead of one join per phrase
+    # ordinal plus a doclens-table join.  See eval_phrase_fused.
+    PHRASE_FUSED = True
 
     def _term_spans(self, term: str) -> tuple[list[int], list[int]]:
         """Merged (sorted, disjoint, integer-adjacent-collapsed) doc

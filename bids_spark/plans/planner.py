@@ -50,6 +50,24 @@ from bids_spark.plans.parser import (
 )
 
 
+def _slop_tf_udf(slop: int):
+    """Arrow-batched pandas UDF computing the tantivy greedy
+    sloppy-match count per doc over one ordinal-ordered
+    array<array<int>> column (functions/slop.py).  One packed column —
+    pandas_udf's type-hint inference rejects variadic signatures, and
+    packing keeps the UDF arity fixed for any phrase length."""
+    from bids_spark.functions.slop import phrase_tf_slop
+
+    @F.pandas_udf("long")
+    def _tf(plists: pd.Series) -> pd.Series:
+        return pd.Series(
+            [phrase_tf_slop(row, slop) for row in plists],
+            dtype="int64",
+        )
+
+    return _tf
+
+
 def _phrase_tf_slop_df(postings_pos: DataFrame, p: Phrase) -> DataFrame:
     """(doc_id, tf) for a sloppy phrase (p.slop > 0).
 
@@ -60,21 +78,8 @@ def _phrase_tf_slop_df(postings_pos: DataFrame, p: Phrase) -> DataFrame:
     arithmetic only, so the tf is exact; scoring shares the BM25
     expression with the slop=0 path.
     """
-    from bids_spark.functions.slop import phrase_tf_slop
-
-    slop = int(p.slop)
     n = len(p.terms)
-
-    # one array<array<int>> column (ordinal-ordered) — pandas_udf's
-    # type-hint inference rejects variadic signatures, and packing
-    # keeps the UDF arity fixed for any phrase length
-    @F.pandas_udf("long")
-    def _tf(plists: pd.Series) -> pd.Series:
-        return pd.Series(
-            [phrase_tf_slop(row, slop) for row in plists],
-            dtype="int64",
-        )
-
+    _tf = _slop_tf_udf(int(p.slop))
     cur = postings_pos.filter(F.col("term") == p.terms[0]).select(
         "doc_id", F.col("positions").alias("p0")
     )
@@ -165,6 +170,84 @@ def eval_phrase(
         bm25_term_score(
             F.col("tf"), F.col("dl"), F.lit(avgdl), idf_col
         ).alias("score"),
+    )
+
+
+def eval_phrase_fused(
+    postings_pos: DataFrame,
+    avgdl: float,
+    p: Phrase,
+    idf_sum: float,
+) -> DataFrame:
+    """(doc_id, score) for a phrase — ONE aggregation, no doclens join.
+
+    The twin of `eval_phrase` for engines whose positions decode also
+    carries the exact doc length (`dl` column — dl-mode blocks store
+    it per posting, the same value the doclens table holds).  Instead
+    of one join per phrase ordinal plus a doclens join (each a
+    shuffle/scan at any scale), all member postings ride ONE decode
+    scan into ONE groupBy(doc_id):
+
+      * collect the per-term position arrays as a term→positions map
+        (exactly one row per (term, doc_id) — a posting lives in one
+        block, a doc in one segment — so no duplicate keys and no
+        order sensitivity);
+      * a doc is a candidate iff ALL member terms are present
+        (map size == |unique terms|) — Lucene conjunction semantics,
+        same as the inner-join chain;
+      * tf: slop=0 folds the SAME array_intersect(transform(+1))
+        chain `eval_phrase` iterates, via F.aggregate over the
+        ordinal-ordered arrays (identical operands in identical order
+        → identical tf); slop>0 feeds the same packed column to the
+        same greedy-walk UDF (_slop_tf_udf);
+      * score: the shared bm25_term_score expression on (tf, payload
+        dl, avgdl, Σ member idfs) — same expression tree as the twin,
+        so scores are bit-identical.
+
+    Exactly-one-shuffle evaluation is tantivy's phrase shape re-expressed
+    for Spark: its phrase scorer walks all member cursors in one pass
+    (bids/index.py:155 → tantivy PhraseScorer); the fused aggregation
+    is that one pass, distributed.
+    """
+    n = len(p.terms)
+    uniq = list(dict.fromkeys(p.terms))
+    per_doc = (
+        postings_pos.filter(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pmap"),
+            # every posting row of a doc carries the same dl
+            F.max("dl").alias("dl"),
+        )
+        .filter(F.size(F.col("pmap")) == len(uniq))
+    )
+    # ordinal-ordered member arrays (duplicate members reuse the same
+    # per-term array, like the twin's repeated filter-join on the term)
+    arrs = F.array(*[F.col("pmap")[F.lit(t)] for t in p.terms])
+    if p.slop > 0:
+        tf = _slop_tf_udf(int(p.slop))(arrs)
+    elif n == 1:
+        tf = F.size(F.element_at(arrs, 1))
+    else:
+        ends = F.aggregate(
+            F.slice(arrs, 2, n - 1),
+            F.element_at(arrs, 1),
+            lambda acc, x: F.array_intersect(
+                F.transform(acc, lambda e: e + F.lit(1)), x
+            ),
+        )
+        tf = F.size(ends)
+    return (
+        per_doc.select("doc_id", "dl", tf.alias("tf"))
+        .filter(F.col("tf") > 0)
+        .select(
+            "doc_id",
+            bm25_term_score(
+                F.col("tf"), F.col("dl"), F.lit(avgdl), F.lit(float(idf_sum))
+            ).alias("score"),
+        )
     )
 
 
