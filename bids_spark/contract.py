@@ -373,20 +373,33 @@ _BATCH_SPECS: dict[str, dict] = {
     "and2": {"must": ["merge", "join"]},
     "not1": {"should": ["merge"], "must_not": ["join"]},
 }
+# pure-phrase batch members ride the shared positions decode
+# (wand.py _phrases_shared / BATCH_PHRASE_SHARED): "merge" serves two
+# phrases, so the per-(term, first_doc) dedup of the unioned restricted
+# blocks is exercised under the oracle, not just in pytest
+_BATCH_PHRASES: dict[str, list[str]] = {
+    "ph2": ["merge", "join"],
+    "ph2b": ["data", "merge"],
+}
 _BATCH_QUERY_STRINGS: dict[str, str] = {
     "single": "data",
     "or2": "merge join",
     "or5": "data merge join sort window",
     "and2": "merge AND join",
     "not1": "merge -join",
+    "ph2": '"merge join"',
+    "ph2b": '"data merge"',
 }
 
 
 def q_bm25_batch(spark, sf_dir):
-    """Five queries served by ONE search_many action over the blocked
+    """Seven queries served by ONE search_many action over the blocked
     index: the shared-decode OR branch (thr = per-term min threshold,
-    broadcast qid fan-out, per-qid θ filter + window rank) and the
-    tagged AND/NOT subplans all under the DuckDB oracle at once."""
+    broadcast qid fan-out, per-qid θ filter + window rank), the
+    shared-phrase branch (one positions decode over the deduplicated
+    union of the phrases' restricted blocks + one groupBy(qid, doc_id);
+    "merge" serves both phrases, exercising the dedup), and the tagged
+    AND/NOT subplans all under the DuckDB oracle at once."""
     from bids_spark.operators.wand import BlockedSearchEngine
 
     eng = BlockedSearchEngine(spark, _blocked_index(spark, sf_dir))
@@ -406,6 +419,11 @@ def bm25_batch_sql(specs: dict[str, dict] | None = None, k: int = 10) -> str:
         f"SELECT '{qid}' AS qid, * FROM ({bm25_topk_sql(k=k, **kw)})"
         for qid, kw in specs.items()
     ]
+    if specs is _BATCH_SPECS:
+        parts += [
+            f"SELECT '{qid}' AS qid, * FROM ({bm25_phrase_sql(terms, k=k)})"
+            for qid, terms in _BATCH_PHRASES.items()
+        ]
     return " UNION ALL ".join(parts)
 
 

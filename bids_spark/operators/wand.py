@@ -105,8 +105,10 @@ from bids_spark.plans.parser import (
     Term,
     parse_query,
 )
+from bids_spark.functions.bm25 import bm25_term_score
 from bids_spark.plans.planner import (
     BooleanEvaluator,
+    _slop_tf_udf,
     eval_phrase,
     eval_phrase_fused,
 )
@@ -1095,6 +1097,13 @@ class BlockedSearchEngine(BooleanEvaluator):
     # column (dl-mode indexes only), instead of one join per phrase
     # ordinal plus a doclens-table join.  See eval_phrase_fused.
     PHRASE_FUSED = True
+    # Batched twin of PHRASE_FUSED: top-level pure-phrase queries in a
+    # search_many batch share ONE positions decode over the
+    # deduplicated union of their restricted blocks + ONE
+    # groupBy(qid, doc_id) aggregation, instead of one decode scan and
+    # one shuffle per phrase.  Off → each phrase evaluates as its own
+    # qid-tagged subplan (the generic-path twin).  See _phrases_shared.
+    BATCH_PHRASE_SHARED = True
 
     def _term_spans(self, term: str) -> tuple[list[int], list[int]]:
         """Merged (sorted, disjoint, integer-adjacent-collapsed) doc
@@ -1536,6 +1545,165 @@ class BlockedSearchEngine(BooleanEvaluator):
     # extra sub-θ rows that the rank window cuts anyway.
     _BATCH_THETA_RELIEF = 1.0 - 1e-12
 
+    def _phrases_shared(
+        self, phrases: dict[str, tuple[Phrase, float]]
+    ) -> DataFrame | None:
+        """(qid, doc_id, score) for a batch of top-level pure-phrase
+        queries in ONE positions decode + ONE aggregation.
+
+        Positions decode is the engine's costliest per-posting path; a
+        batch of N phrases as per-qid subplans pays N decode scans and
+        N shuffles even inside one action, and phrases drawn from real
+        query streams share head words, so shared blocks decode N
+        times.  Here: each phrase's blocks are restricted exactly as
+        in _eval_phrase (member-conjunction bitmap + rarest-term
+        spans; a metadata-proved-empty phrase contributes no rows),
+        the union is deduplicated per (term, first_doc) iff any term
+        serves ≥2 phrases (the dedup shuffles compressed payloads at
+        ~5.5 B/posting — far cheaper than decoding shared blocks per
+        phrase), decoded ONCE, fanned out to phrases by term (CASE
+        literal + explode, or the broadcast-join twin), and evaluated
+        per (qid, doc_id) with the same machinery as the single-query
+        fused path.
+
+        Bit-identity to ``search(q)`` per qid: the decoded set is a
+        SUPERSET of each phrase's own restricted blocks (union only
+        adds blocks another phrase needed; restriction soundness means
+        every fully-matching doc's member postings are already in the
+        phrase's own set, so extras can only add docs the member-count
+        filter drops or docs whose postings are all present anyway);
+        tf folds the same array_intersect(transform(+1)) chain in the
+        same operand order (sloppy members ride the same greedy-walk
+        UDF); the score is the same bm25_term_score on the payload dl
+        with the per-qid Σidf as a CASE literal (same float64 per
+        row); boosts multiply in search()'s order — Phrase.boost then
+        the top-level Bool's — and ×1.0 is bit-exact, so unconditional
+        multiplies keep unboosted scores identical.
+        """
+        n_docs, avgdl = self._stats()
+        all_terms = sorted({t for p, _ in phrases.values() for t in p.terms})
+        meta_all = self._term_meta(all_terms)  # one pruned scan, memoized
+        blocks_parts: list[DataFrame] = []
+        qattrs: dict[str, dict] = {}
+        for qid, (p, ab) in sorted(phrases.items()):
+            uniq = list(dict.fromkeys(p.terms))
+            meta = {t: meta_all[t] for t in uniq if t in meta_all}
+            blocks = self._term_blocks(uniq)
+            if len(uniq) > 1:
+                empty, bp, rr = self._bool_restriction(
+                    sorted(uniq), sorted(uniq), meta=meta
+                )
+                if empty:
+                    continue  # provably no match — no rows for this qid
+                blocks = self._restrict_blocks(blocks, bp, rr)
+            elif not meta:
+                continue  # single member term with zero postings
+            blocks_parts.append(blocks)
+            qattrs[qid] = {
+                "terms": list(p.terms),
+                "n": len(uniq),
+                "idf": sum(float(m["idf"]) for m in meta.values()),
+                "slop": int(p.slop),
+                "pb": float(p.boost),
+                "ab": float(ab),
+            }
+        if not qattrs:
+            return None
+        blocks_u = blocks_parts[0]
+        for b in blocks_parts[1:]:
+            blocks_u = blocks_u.unionByName(b)
+        seen: set[str] = set()
+        overlap = False
+        for a in qattrs.values():
+            s = set(a["terms"])
+            overlap = overlap or bool(seen & s)
+            seen |= s
+        if overlap and len(blocks_parts) > 1:
+            blocks_u = blocks_u.dropDuplicates(["term", "first_doc"])
+        decoded = self._decode_positions(self._apply_range_ctx(blocks_u))
+        # fan decoded rows out to the phrases that want their term
+        t2q: dict[str, list[str]] = {}
+        for qid, a in qattrs.items():
+            for t in set(a["terms"]):
+                t2q.setdefault(t, []).append(qid)
+        if self.TINY_LOOKUP_LITERAL:
+            qarr = None
+            for t in sorted(t2q):
+                w = F.col("term") == F.lit(t)
+                arr = F.array(*[F.lit(q) for q in sorted(t2q[t])])
+                qarr = F.when(w, arr) if qarr is None else qarr.when(w, arr)
+            fanned = decoded.withColumn("qid", F.explode(qarr))
+        else:
+            pairs = sorted((q, t) for t, qs in t2q.items() for q in qs)
+            qmap = F.broadcast(
+                self.spark.createDataFrame(pairs, "qid string, term string")
+            )
+            fanned = decoded.join(qmap, "term")
+        per_doc = (
+            fanned.groupBy("qid", "doc_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))
+                ).alias("pmap"),
+                F.max("dl").alias("dl"),
+            )
+            .filter(
+                F.size("pmap")
+                == lookup_expr(
+                    F.col("qid"), {q: a["n"] for q, a in qattrs.items()}
+                )
+            )
+        )
+        # per-qid tf, selected by a CASE on qid: the exact chain is
+        # row-lazy (Catalyst CASE), the slop UDFs are Arrow projections
+        # evaluated eagerly for every row — other qids' rows hold NULL
+        # map entries, so those get an empty same-typed array instead
+        # (tf 0, greedy walk's documented empty behavior)
+        tf_expr = None
+        for qid, a in qattrs.items():
+            arr = [F.col("pmap")[F.lit(t)] for t in a["terms"]]
+            if a["slop"] == 0:
+                acc = arr[0]
+                for x in arr[1:]:
+                    acc = F.array_intersect(
+                        F.transform(acc, lambda e: e + F.lit(1)), x
+                    )
+                tfq = F.size(acc)
+            else:
+                packed = F.array(*arr)
+                w0 = F.col("qid") == F.lit(qid)
+                tfq = _slop_tf_udf(a["slop"])(
+                    F.when(w0, packed).otherwise(F.slice(packed, 1, 0))
+                )
+            w = F.col("qid") == F.lit(qid)
+            tf_expr = (
+                F.when(w, tfq) if tf_expr is None else tf_expr.when(w, tfq)
+            )
+        idf_case = lookup_expr(
+            F.col("qid"), {q: a["idf"] for q, a in qattrs.items()}
+        )
+        pb = lookup_expr(
+            F.col("qid"), {q: a["pb"] for q, a in qattrs.items()}
+        )
+        abq = lookup_expr(
+            F.col("qid"), {q: a["ab"] for q, a in qattrs.items()}
+        )
+        return (
+            per_doc.select("qid", "doc_id", "dl", tf_expr.alias("tf"))
+            .filter(F.col("tf") > 0)
+            .select(
+                "qid",
+                "doc_id",
+                (
+                    bm25_term_score(
+                        F.col("tf"), F.col("dl"), F.lit(avgdl), idf_case
+                    )
+                    * pb
+                    * abq
+                ).alias("score"),
+            )
+        )
+
     def search_many(
         self,
         queries: dict[str, str],
@@ -1598,6 +1766,7 @@ class BlockedSearchEngine(BooleanEvaluator):
         bool_class: dict[
             str, tuple[list[str], list[str], list[str], dict[str, float] | None]
         ] = {}
+        phrase_class: dict[str, tuple[Phrase, float]] = {}
         ast_class: dict[str, Bool] = {}
         for qid, q in queries.items():
             ast = parse_query(q)
@@ -1612,6 +1781,20 @@ class BlockedSearchEngine(BooleanEvaluator):
                     or_class[qid] = (should, boosts)
                 else:
                     bool_class[qid] = (must, should, must_not, bmap)
+            elif (
+                self.BATCH_PHRASE_SHARED
+                and not ast.must
+                and not ast.must_not
+                and len(ast.should) == 1
+                and isinstance(ast.should[0], Phrase)
+                and self._has_positions()
+                and self.PHRASE_FUSED
+                and self._phrase_dl_available()
+            ):
+                # top-level pure phrase → the shared-decode branch
+                # (falls back to the generic per-qid subplan when any
+                # switch/index capability rules the fused path out)
+                phrase_class[qid] = (ast.should[0], float(ast.boost))
             else:
                 ast_class[qid] = ast
 
@@ -1748,6 +1931,10 @@ class BlockedSearchEngine(BooleanEvaluator):
             branches.append(
                 m.select(F.lit(qid).alias("qid"), "doc_id", "score")
             )
+        if phrase_class:
+            shared = self._phrases_shared(phrase_class)
+            if shared is not None:
+                branches.append(shared)
         for qid, ast in ast_class.items():
             m = (
                 self._eval(ast)
