@@ -76,6 +76,10 @@ PARTIAL_SCHEMA = T.StructType(
     ]
 )
 
+PARTIAL_SCHEMA_DL = T.StructType(
+    PARTIAL_SCHEMA.fields + [T.StructField("dl", T.LongType())]
+)
+
 BLOCK_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
@@ -96,9 +100,16 @@ BLOCK_SCHEMA = T.StructType(
 )
 
 
-def spimi_partial_postings(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+def spimi_partial_postings(
+    docs: DataFrame, id_col="doc_id", text_col="text", with_dl: bool = False
+) -> DataFrame:
     """mapInPandas SPIMI: per-Arrow-batch tokenize + local (doc,term)
-    tf counts — the in-RAM inversion step of C4, vectorized."""
+    tf counts — the in-RAM inversion step of C4, vectorized.
+
+    with_dl=True also emits dl per posting (Σtf of the doc's kept
+    tokens — exact because a document row lives entirely in one Arrow
+    batch), matching the builtin tokenizer's with_dl contract so the
+    blocks stage never joins doclens."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -122,13 +133,23 @@ def spimi_partial_postings(docs: DataFrame, id_col="doc_id", text_col="text") ->
                 out = pd.DataFrame({"term": [], "doc_id": [], "tf": []})
             out["doc_id"] = out["doc_id"].astype("int64")
             out["tf"] = out["tf"].astype("int64")
-            yield out[["term", "doc_id", "tf"]]
+            if with_dl:
+                out["dl"] = (
+                    out.groupby("doc_id")["tf"].transform("sum").astype("int64")
+                    if len(out) else pd.Series([], dtype="int64")
+                )
+                yield out[["term", "doc_id", "tf", "dl"]]
+            else:
+                yield out[["term", "doc_id", "tf"]]
 
+    aggs = [F.sum("tf").alias("tf")]
+    if with_dl:
+        aggs.append(F.first("dl").alias("dl"))
     return (
         docs.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col))
-        .mapInPandas(gen, PARTIAL_SCHEMA)
+        .mapInPandas(gen, PARTIAL_SCHEMA_DL if with_dl else PARTIAL_SCHEMA)
         .groupBy("term", "doc_id")
-        .agg(F.sum("tf").alias("tf"))
+        .agg(*aggs)
     )
 
 
@@ -342,7 +363,10 @@ class BlockedIndex:
         spark = docs.sparkSession
         man = self._manifest()
         n_part = n_partitions or spark.sparkContext.defaultParallelism
-        fingerprint = fingerprint + ("+pos" if with_positions else "")
+        # +pf2: postings carry dl per posting (computed free at tokenize
+        # time) — indexes whose postings stage predates the column
+        # rebuild it on resume instead of crashing the blocks stage
+        fingerprint = fingerprint + "+pf2" + ("+pos" if with_positions else "")
 
         if not self._stage_done(man, "postings", fingerprint):
             t0 = time.time()
@@ -350,20 +374,21 @@ class BlockedIndex:
                 from bids_spark.operators.index_build import (
                     postings_with_positions as _builtin_pos,
                 )
-                part = _builtin_pos(docs, id_col, text_col)
+                part = _builtin_pos(docs, id_col, text_col, with_dl=True)
             elif tokenizer == "spimi":
-                part = spimi_partial_postings(docs, id_col, text_col)
+                part = spimi_partial_postings(docs, id_col, text_col, with_dl=True)
             else:
                 from bids_spark.operators.index_build import postings as _builtin
-                part = _builtin(docs, id_col, text_col)
+                part = _builtin(docs, id_col, text_col, with_dl=True)
             self.io.write(part, "postings")
             self._mark(man, "postings", fingerprint, seconds=time.time() - t0)
         postings = self.io.read(spark, "postings")
 
         if not self._stage_done(man, "doclens", fingerprint):
             t0 = time.time()
-            # dl = Σtf (kept tokens only); zero-token docs via left join
-            doclens = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+            # dl rides every posting row (+pf2), so the doclens table is
+            # a first() per doc, not a sum; zero-token docs via left join
+            doclens = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
             all_ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
             doclens = (
                 all_ids.join(doclens, "doc_id", "left")
@@ -407,7 +432,7 @@ class BlockedIndex:
             )
             # exact per-posting BM25 computed JVM-side (codegen) BEFORE
             # the range shuffle — the Python encoder only packs bytes,
-            # and the shuffle carries 5 narrow columns
+            # and the shuffle carries a handful of narrow columns
             tf_d = F.col("tf").cast("double")
             score = (
                 F.col("idf")
@@ -427,8 +452,21 @@ class BlockedIndex:
                 cols.append(F.col("dl"))
             if with_positions:
                 cols.append(F.col("positions"))
+            # dl comes from the postings rows themselves (+pf2) — no
+            # doclens join: at 10^12 docs that join was a full shuffle
+            # of the postings relation on doc_id, the largest avoidable
+            # exchange in the build.  term_df stays a join (vocab can
+            # exceed broadcast size at web scale; AQE broadcasts it when
+            # runtime stats allow).  SPARK_GRAFT_BUILD_DL_CARRY=0 keeps
+            # the doclens-join twin runnable for interleaved A/B
+            # (tools/build_bench.py) — output is identical either way
+            # (dl ≡ the doclens value by construction, tested).
+            if os.environ.get("SPARK_GRAFT_BUILD_DL_CARRY", "1") == "0":
+                src = postings.drop("dl").join(doclens, "doc_id")
+            else:
+                src = postings
             enriched = (
-                postings.join(doclens, "doc_id")
+                src
                 .join(term_df.select("term", idf.alias("idf")), "term")
                 .select(*cols)
                 .withColumn(
@@ -457,41 +495,19 @@ class BlockedIndex:
             )
             enriched.unpersist()
             dt = time.time() - t0
-            # ONE metrics job over the written blocks (not count+2 aggs)
-            m = (
-                self.io.read(spark, "blocks")
-                .agg(
-                    F.count("*").alias("n_blocks"),
-                    F.sum("n").alias("postings"),
-                    F.sum(F.length("payload")).alias("bytes"),
-                    # doc-id domain: fixes the chunk grid the query-time
-                    # range-aligned block bounds use (wand.py) without a
-                    # metadata scan per serving process
-                    F.min("first_doc").alias("doc_lo"),
-                    F.max("max_doc").alias("doc_hi"),
-                )
-                .first()
-            )
-            n_postings = int(m["postings"] or 0)
-            comp_bytes = int(m["bytes"] or 0)
-            build_total = dt + sum(
-                man["stages"][s]["seconds"]
-                for s in ("postings", "doclens", "stats")
-                if s in man["stages"]
-            )
+            # build metrics (postings/bytes/doc domain) are filled from
+            # the TERMS table after the terms stage — the dictionary
+            # aggregation is the one post-write scan of the blocks
+            # relation, and global metrics are sums over its tiny
+            # output, so the old dedicated metrics scan (a second full
+            # read of the payload bytes just written) is gone
             self._mark(
                 man, "blocks", blk_fp,
-                rows=int(m["n_blocks"]), seconds=dt, postings=n_postings,
-                compressed_bytes=comp_bytes,
+                seconds=dt,
                 n_docs=n_docs, n_buckets=n_buckets,
                 with_positions=with_positions,
                 score_mode=score_mode,
                 avgdl=avgdl,
-                doc_lo=(None if m["doc_lo"] is None else int(m["doc_lo"])),
-                doc_hi=(None if m["doc_hi"] is None else int(m["doc_hi"])),
-                docs_per_sec=n_docs / max(build_total, 1e-9),
-                postings_per_sec=n_postings / max(build_total, 1e-9),
-                bytes_per_posting=comp_bytes / max(n_postings, 1),
             )
 
         if not self._stage_done(man, "terms", blk_fp):
@@ -514,6 +530,14 @@ class BlockedIndex:
                     # tightest one available without a probe job
                     F.max("top10_score").alias("s10"),
                     F.max("top100_score").alias("s100"),
+                    # per-term rollups that make global build metrics a
+                    # sum over THIS tiny table instead of a second full
+                    # blocks scan (payload bytes are the bulk of the
+                    # table — at web scale reading them twice post-write
+                    # doubles the build's read volume)
+                    F.sum(F.length("payload")).cast("long").alias("bytes"),
+                    F.min("first_doc").alias("first_doc_min"),
+                    F.max("max_doc").alias("max_doc_max"),
                 )
             )
             self.io.write(
@@ -521,6 +545,44 @@ class BlockedIndex:
                 "terms", partition_by=["bucket"],
             )
             self._mark(man, "terms", blk_fp, seconds=time.time() - t0)
+
+        if "postings" not in man["stages"]["blocks"]:
+            # fill blocks metrics from the terms table (tiny; also runs
+            # on a resume that crashed between the two commits above)
+            m = (
+                self.io.read(spark, "terms")
+                .agg(
+                    F.sum("n_blocks").alias("n_blocks"),
+                    F.sum("df").alias("postings"),
+                    F.sum("bytes").alias("bytes"),
+                    # doc-id domain: fixes the chunk grid the query-time
+                    # range-aligned block bounds use (wand.py) without a
+                    # metadata scan per serving process
+                    F.min("first_doc_min").alias("doc_lo"),
+                    F.max("max_doc_max").alias("doc_hi"),
+                )
+                .first()
+            )
+            n_postings = int(m["postings"] or 0)
+            comp_bytes = int(m["bytes"] or 0)
+            be = man["stages"]["blocks"]
+            build_total = be["seconds"] + sum(
+                man["stages"][s]["seconds"]
+                for s in ("postings", "doclens", "stats")
+                if s in man["stages"]
+            )
+            n_docs_m = int(be["n_docs"])
+            be.update(
+                rows=int(m["n_blocks"] or 0),
+                postings=n_postings,
+                compressed_bytes=comp_bytes,
+                doc_lo=(None if m["doc_lo"] is None else int(m["doc_lo"])),
+                doc_hi=(None if m["doc_hi"] is None else int(m["doc_hi"])),
+                docs_per_sec=n_docs_m / max(build_total, 1e-9),
+                postings_per_sec=n_postings / max(build_total, 1e-9),
+                bytes_per_posting=comp_bytes / max(n_postings, 1),
+            )
+            self.log.commit(man)
 
         if cm_sidecar is None:
             # auto: skip on indexes too small for any query to reach

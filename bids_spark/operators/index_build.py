@@ -28,12 +28,33 @@ from bids_spark.functions.text import tokenize_text
 
 
 def tokens(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    with_dl: bool = False,
 ) -> DataFrame:
-    """(doc_id, pos, term) — one row per token occurrence."""
+    """(doc_id, pos, term) — one row per token occurrence.
+
+    with_dl=True also carries dl = size(tokens) per occurrence row
+    (known for free BEFORE the explode): downstream postings then hold
+    the exact doc length without ever joining the doclens table — at
+    10^12 docs that join is a full shuffle of the postings relation,
+    the single largest avoidable exchange in the build (dl ≡ Σtf over
+    kept tokens, so the value is identical by construction)."""
+    if not with_dl:
+        return (
+            docs.select(
+                id_col, F.posexplode(tokenize_text(text_col)).alias("pos", "term")
+            )
+            .withColumnRenamed(id_col, "doc_id")
+        )
     return (
-        docs.select(id_col, F.posexplode(tokenize_text(text_col)).alias("pos", "term"))
-        .withColumnRenamed(id_col, "doc_id")
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokenize_text(text_col).alias("_toks")
+        )
+        .select(
+            "doc_id",
+            F.size("_toks").alias("dl"),
+            F.posexplode("_toks").alias("pos", "term"),
+        )
     )
 
 
@@ -59,28 +80,38 @@ def corpus_stats(
 
 
 def postings(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    with_dl: bool = False,
 ) -> DataFrame:
-    """(term, doc_id, tf) — the inverted index, uncompressed."""
+    """(term, doc_id, tf[, dl]) — the inverted index, uncompressed.
+    with_dl carries the exact doc length per posting (see tokens())."""
+    aggs = [F.count("*").alias("tf")]
+    if with_dl:
+        aggs.append(F.first("dl").alias("dl"))
     return (
-        tokens(docs, id_col, text_col)
+        tokens(docs, id_col, text_col, with_dl=with_dl)
         .groupBy("term", "doc_id")
-        .agg(F.count("*").alias("tf"))
+        .agg(*aggs)
     )
 
 
 def postings_with_positions(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    with_dl: bool = False,
 ) -> DataFrame:
-    """(term, doc_id, tf, positions array<int>) — phrase-capable postings
-    (tantivy record:"position", meta.json:29,42). Positions sorted asc."""
+    """(term, doc_id, tf, positions array<int>[, dl]) — phrase-capable
+    postings (tantivy record:"position", meta.json:29,42). Positions
+    sorted asc; with_dl carries the exact doc length (see tokens())."""
+    aggs = [
+        F.count("*").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    ]
+    if with_dl:
+        aggs.append(F.first("dl").alias("dl"))
     return (
-        tokens(docs, id_col, text_col)
+        tokens(docs, id_col, text_col, with_dl=with_dl)
         .groupBy("term", "doc_id")
-        .agg(
-            F.count("*").alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-        )
+        .agg(*aggs)
     )
 
 

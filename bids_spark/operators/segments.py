@@ -458,7 +458,13 @@ class SegmentedIndex:
         segs = [BlockedIndex(p) for p in seg_paths]
         mans = [s._manifest()["stages"]["blocks"] for s in segs]
         with_pos = all(bool(m.get("with_positions")) for m in mans)
-        cols = ["term", "doc_id", "tf"] + (["positions"] if with_pos else [])
+        # dl rides every posting row (+pf2 format) — the merged postings
+        # must carry it so the blocks stage scores without a doclens join
+        cols = (
+            ["term", "doc_id", "tf"]
+            + (["positions"] if with_pos else [])
+            + ["dl"]
+        )
         tomb = self.tombstones(spark)
 
         name = f"seg-merged-{len(seg_paths):04d}-{os.path.basename(seg_paths[-1])}"
@@ -478,7 +484,10 @@ class SegmentedIndex:
             fp_c = (man_c.get("stages", {}).get("postings") or {}).get(
                 "fingerprint", ""
             )
-            if fp_c in (base_fp_probe, base_fp_probe + "+pos"):
+            if fp_c in (
+                base_fp_probe + "+pf2",
+                base_fp_probe + "+pf2+pos",
+            ):
                 break  # same compaction, crashed mid-way: resume it
             i += 1
             name = (
@@ -486,10 +495,11 @@ class SegmentedIndex:
                 f"{os.path.basename(seg_paths[-1])}-{i}"
             )
         dst = BlockedIndex(os.path.join(self.root, name))
-        # base_fp feeds dst.build below, which appends "+pos" itself —
-        # fp here must mirror that so the staged unions are recognized
+        # base_fp feeds dst.build below, which appends "+pf2"/"+pos"
+        # itself — fp here must mirror that so the staged unions are
+        # recognized
         base_fp = base_fp_probe
-        fp = base_fp + ("+pos" if with_pos else "")
+        fp = base_fp + "+pf2" + ("+pos" if with_pos else "")
 
         def union_stage(stage: str, select_cols: list[str] | None):
             dfs = [s.io.read(spark, stage) for s in segs]

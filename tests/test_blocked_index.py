@@ -197,7 +197,7 @@ def test_resume_skips_done_stages(spark, docs, tmp_path):
     # changed fingerprint → full rebuild
     man3 = bi.build(docs, fingerprint="fp2", n_partitions=4)
     assert os.path.getmtime(os.path.join(path, "postings", "_SUCCESS")) > t_postings_before
-    assert man3["stages"]["postings"]["fingerprint"] == "fp2"
+    assert man3["stages"]["postings"]["fingerprint"] == "fp2+pf2"
 
 
 def test_manifest_metrics(index):
