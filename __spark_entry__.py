@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_slop": C.q_bm25_phrase_slop,
         "term_set": C.q_term_set,
         "docid_set": C.q_docid_set,
+        "term_range": C.q_term_range,
         "bm25_or_segmented": C.q_bm25_or_segmented,
         "bm25_and_segmented": C.q_bm25_and_segmented,
         "bm25_not_segmented": C.q_bm25_not_segmented,
@@ -124,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase_slop": C.bm25_phrase_slop_sql(["merge", "join"], 2),
         "term_set": C.TERM_SET_SQL,
         "docid_set": C.DOCID_SET_SQL,
+        "term_range": C.TERM_RANGE_SQL,
         "bm25_or_segmented": C.bm25_topk_sql(should=["merge", "join"]),
         "bm25_and_segmented": C.bm25_topk_sql(must=["merge", "join"]),
         "bm25_not_segmented": C.bm25_topk_sql(

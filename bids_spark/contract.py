@@ -570,6 +570,14 @@ def q_docid_set(spark, sf_dir):
     return _search_blocked(spark, sf_dir, "doc_id: IN [5 100 333 9999999]")
 
 
+def q_term_range(spark, sf_dir):
+    """`content:[a TO b]` term-dictionary range (tantivy RangeQuery on
+    a str field, constant scorer) through the blocked path — the
+    member set is a pushed-down range predicate over the blocks
+    table, never a term list on the driver."""
+    return _search_blocked(spark, sf_dir, "content:[merge TO part]")
+
+
 TERM_SET_SQL = f"""
 WITH {_TOK_CTES},
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'join'))
@@ -584,6 +592,15 @@ SELECT CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank,
        doc_id, round(1.0, 6) AS score
 FROM dl WHERE doc_id IN (5, 100, 333, 9999999)
 ORDER BY doc_id ASC LIMIT 10
+"""
+
+TERM_RANGE_SQL = f"""
+WITH {_TOK_CTES},
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term >= 'merge' AND term <= 'part')
+SELECT CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(1.0, 6) AS score
+FROM m ORDER BY doc_id ASC LIMIT 10
 """
 
 

@@ -760,6 +760,22 @@ class SegmentedSearchEngine(BlockedSearchEngine):
     def _term_blocks(self, terms: list[str]) -> DataFrame:
         return self._union_term_blocks(terms, range(len(self._seg_blocks)))
 
+    def _termrange_blocks(self, tr) -> DataFrame:
+        """Union of every segment's in-range blocks.  No idf
+        substitution / bound rescaling: a TermRange is a constant
+        scorer, so only doc_ids are consumed downstream (and its
+        _eval_termrange consumer never reads score bounds)."""
+        from bids_spark.plans.planner import term_range_pred
+
+        parts = [
+            sb.filter(term_range_pred(F.col("term"), tr))
+            for sb in self._seg_blocks
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _union_term_blocks(self, terms: list[str], idxs) -> DataFrame:
         """Rescaled blocks view over a SUBSET of segments — the full
         union for queries, the sidecar-less subset for _cm_arrays'

@@ -111,6 +111,7 @@ from bids_spark.plans.planner import (
     _slop_tf_udf,
     eval_phrase,
     eval_phrase_fused,
+    term_range_pred,
 )
 
 _DECODED = T.StructType(
@@ -527,6 +528,34 @@ class BlockedSearchEngine(BooleanEvaluator):
         if not ts.terms:
             return self._empty()
         blocks = self._apply_range_ctx(self._term_blocks(list(ts.terms)))
+        return (
+            self._decode(blocks)
+            .select("doc_id")
+            .distinct()
+            .select("doc_id", F.lit(1.0).alias("score"))
+        )
+
+    def _termrange_blocks(self, tr) -> DataFrame:
+        """All blocks whose term falls in the range — a dictionary-wide
+        metadata scan by construction (hash buckets don't prune a
+        LEXICOGRAPHIC range), but rows inside each bucket partition are
+        sorted by term (the build's range shuffle order survives the
+        write), so parquet row-group min/max stats keep the scan
+        proportional to matching blocks.  Segmented override unions
+        segments."""
+        return self.blocks.filter(term_range_pred(F.col("term"), tr))
+
+    def _eval_termrange(self, tr) -> DataFrame:
+        """Term-dictionary range (tantivy RangeQuery on a str field):
+        constant scorer, 1.0 per live doc holding ANY in-range term.
+        Same shape as _eval_termset — decode → distinct doc ids —
+        with the member set expressed as a pushed-down range predicate
+        instead of an IN list (the range can match unboundedly many
+        terms; no term list ever reaches the driver).  Catalyst prunes
+        the score expression from the decode; the segmented _decode
+        override anti-joins tombstones; an enclosing must-range skips
+        non-overlapping blocks first."""
+        blocks = self._apply_range_ctx(self._termrange_blocks(tr))
         return (
             self._decode(blocks)
             .select("doc_id")

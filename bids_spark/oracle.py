@@ -23,6 +23,7 @@ from bids_spark.plans.parser import (
     Phrase,
     Range,
     Term,
+    TermRange,
     TermSet,
     parse_query,
 )
@@ -126,6 +127,26 @@ class OracleIndex:
         if isinstance(node, DocIdSet):
             ids = set(node.ids)
             return {d: 1.0 for d in self.dl if d in ids}
+        if isinstance(node, TermRange):
+            # constant scorer: any term lexicographically within the
+            # bounds (UTF-8 byte order, like Spark/DuckDB strings)
+            def in_range(t: str) -> bool:
+                bt = t.encode()
+                if node.lo is not None:
+                    blo = node.lo.encode()
+                    if bt < blo or (bt == blo and not node.lo_incl):
+                        return False
+                if node.hi is not None:
+                    bhi = node.hi.encode()
+                    if bt > bhi or (bt == bhi and not node.hi_incl):
+                        return False
+                return True
+
+            return {
+                d: 1.0
+                for d, c in self.tf.items()
+                if any(in_range(t) for t in c)
+            }
         assert isinstance(node, Bool)
         if not node.must and not node.should:
             return {}

@@ -30,8 +30,18 @@ exposes (`index.parse_query(q, ["content"])` at
       `{`/`}` are exclusive bounds (normalized to inclusive ±1 — exact
       for an integer field), `*` an open end.  Constant scorer: every
       matching doc scores 1.0 × boost (Lucene/tantivy ConstScorer).
-      Term-dictionary ranges on the text field (`content:[a TO b]`)
-      are NOT supported — documented divergence, ValueError.
+    - `content:[a TO b]`        → term-dictionary range on the text
+      field (tantivy RangeQuery over a str field): constant scorer,
+      1.0 × boost per live doc containing ANY term lexicographically
+      within the bounds.  `{`/`}` exclusive bounds stay exclusive
+      (no ±1 normalization — strings have no successor), `*` an open
+      end.  Bounds run through the same query tokenizer as terms
+      (pinned decision: the reference stack isn't runnable here to
+      observe whether tantivy analyzes range bounds; tokenizing keeps
+      `content:[B TO D]` from silently matching nothing against the
+      all-lowercase dictionary).  A bound that tokenizes to zero or
+      multiple tokens is a loud parse error.  Comparison order is
+      UTF-8 byte order — what both Spark's UTF8String and DuckDB use.
     - `*`                       → match-all (tantivy AllQuery), 1.0 ×
       boost per doc.
     - `content: IN [a b c]` / bare `IN [a b c]` → set query (tantivy's
@@ -99,6 +109,20 @@ class Range:
 
     lo: int | None
     hi: int | None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRange:
+    """`content:[a TO b]` — term-dictionary range on the text field
+    (tantivy RangeQuery over a str field).  Constant scorer: 1.0 ×
+    boost per live doc containing ANY term within the bounds.  None =
+    open end; exclusivity kept as flags (strings have no ±1)."""
+
+    lo: str | None
+    hi: str | None
+    lo_incl: bool = True
+    hi_incl: bool = True
     boost: float = 1.0
 
 
@@ -358,10 +382,13 @@ class _Parser:
                 "(expected field:[lo TO hi], * for an open end)"
             )
         fld, lb, lo_s, hi_s, rb = m.groups()
+        if fld.lower() == "content":
+            return _Parser._parse_term_range(lb, lo_s, hi_s, rb)
         if fld.lower() != "doc_id":
             raise ValueError(
-                "range queries are supported on the indexed i64 doc_id "
-                f"field only (reference bids/index.py:53-55), got {fld!r}"
+                "range queries are supported on the doc_id fast field "
+                "and the content term dictionary only (reference "
+                f"bids/index.py:53-55), got {fld!r}"
             )
 
         def bound(s: str, excl_adj: int) -> int | None:
@@ -378,6 +405,25 @@ class _Parser:
         return Range(
             bound(lo_s, 1 if lb == "{" else 0),
             bound(hi_s, -1 if rb == "}" else 0),
+        )
+
+    @staticmethod
+    def _parse_term_range(lb: str, lo_s: str, hi_s: str, rb: str) -> TermRange:
+        def bound(s: str) -> str | None:
+            if s == "*":
+                return None
+            toks = tokenize_query(s)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"term-range bound {s!r} must tokenize to exactly "
+                    f"one term (got {toks}) — bounds go through the "
+                    "same tokenizer as query terms"
+                )
+            return toks[0]
+
+        return TermRange(
+            bound(lo_s), bound(hi_s),
+            lo_incl=(lb == "["), hi_incl=(rb == "]"),
         )
 
     def _atom(self):

@@ -27,7 +27,7 @@ as TakeOrderedAndProject — per-partition heaps, no global sort (D8).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bids_spark.functions.bm25 import bm25_term_score, idf_expr
@@ -45,9 +45,25 @@ from bids_spark.plans.parser import (
     Phrase,
     Range,
     Term,
+    TermRange,
     TermSet,
     parse_query,
 )
+
+
+def term_range_pred(col: Column, tr: TermRange) -> Column:
+    """Column predicate for a TermRange over a string term column —
+    shared by every engine so the bound/exclusivity algebra can't
+    drift (Spark compares strings by UTF-8 bytes, same order as the
+    oracle's encode() compare)."""
+    pred = F.lit(True)
+    if tr.lo is not None:
+        op = col >= F.lit(tr.lo) if tr.lo_incl else col > F.lit(tr.lo)
+        pred = pred & op
+    if tr.hi is not None:
+        op = col <= F.lit(tr.hi) if tr.hi_incl else col < F.lit(tr.hi)
+        pred = pred & op
+    return pred
 
 
 def _slop_tf_udf(slop: int):
@@ -302,6 +318,13 @@ class BooleanEvaluator:
             out = out.unionByName(self._eval_term(Term(t)).select("doc_id"))
         return out.distinct().select("doc_id", F.lit(1.0).alias("score"))
 
+    def _eval_termrange(self, tr: TermRange) -> DataFrame:
+        """Constant scorer: 1.0 per live doc containing ANY term
+        within the bounds (tantivy RangeQuery over a str field).
+        Needs a vocabulary to enumerate — no generic path; each engine
+        implements over its own postings/dictionary representation."""
+        raise NotImplementedError  # pragma: no cover
+
     def _eval_docidset(self, s: DocIdSet) -> DataFrame:
         """Constant scorer over the doc_id fast field, like Range."""
         if not s.ids:
@@ -323,6 +346,8 @@ class BooleanEvaluator:
             df = self._eval_all(node)
         elif isinstance(node, TermSet):
             df = self._eval_termset(node)
+        elif isinstance(node, TermRange):
+            df = self._eval_termrange(node)
         elif isinstance(node, DocIdSet):
             df = self._eval_docidset(node)
         elif isinstance(node, Bool):
@@ -435,6 +460,14 @@ class SearchEngine(BooleanEvaluator):
         # one row per indexed doc (dl may be 0 — an empty doc still
         # matches All/Range, as in tantivy)
         return self.doclens.select("doc_id")
+
+    def _eval_termrange(self, tr: TermRange) -> DataFrame:
+        return (
+            self.scored.filter(term_range_pred(F.col("term"), tr))
+            .select("doc_id")
+            .distinct()
+            .select("doc_id", F.lit(1.0).alias("score"))
+        )
 
     def _empty_scores(self) -> DataFrame:
         return self.scored.select("doc_id", "score").limit(0)

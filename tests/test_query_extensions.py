@@ -32,6 +32,7 @@ from bids_spark.plans.parser import (
     Phrase,
     Range,
     Term,
+    TermRange,
     TermSet,
     parse_query,
 )
@@ -104,7 +105,29 @@ def test_parse_range_boost_and_occur():
 
 def test_parse_range_bad_field():
     with pytest.raises(ValueError):
-        parse_query("content:[a TO b]")
+        parse_query("title:[a TO b]")
+
+
+def test_parse_term_range():
+    assert parse_query("content:[a TO b]").should == [TermRange("a", "b")]
+    assert parse_query("content:{a TO b}").should == [
+        TermRange("a", "b", lo_incl=False, hi_incl=False)
+    ]
+    assert parse_query("content:[* TO b]").should == [TermRange(None, "b")]
+    assert parse_query("content:[a TO *]^2").should == [
+        TermRange("a", None, boost=2.0)
+    ]
+    # bounds go through the query tokenizer (lowercase)
+    assert parse_query("content:[Merge TO Part]").should == [
+        TermRange("merge", "part")
+    ]
+
+
+def test_parse_term_range_bad_bounds():
+    with pytest.raises(ValueError):
+        parse_query("content:[a.b, TO d]")  # multi-token bound
+    with pytest.raises(ValueError):
+        parse_query("content:[,. TO d]")  # zero-token bound
 
 
 def test_parse_range_bad_bounds():
@@ -193,6 +216,14 @@ QUERIES = [
     "data AND doc_id: IN [100 150 200]",  # must doc_id set (block-skip ctx)
     "* -content: IN [the a]",             # set as must_not
     "content: IN [zzznope]",              # set of absent terms → empty
+    "content:[merge TO part]",            # term-dictionary range
+    "content:{merge TO part}",            # exclusive string bounds
+    "content:[* TO column]",              # open low end
+    "content:[q TO s]^2 data",            # boosted range in an OR
+    "data AND content:[me TO mz]",        # range under a must
+    "* -content:[a TO k]",                # range as must_not
+    "content:[zz TO zzz]",                # empty term range
+    "content:[m TO p] AND doc_id:[100 TO 400]",  # term range ∧ doc range
 ]
 
 
@@ -326,6 +357,37 @@ def test_pure_range_orders_by_doc_id(naive):
     rows = naive.search("doc_id:[100 TO 300]", 5).collect()
     assert [r["doc_id"] for r in rows] == [100, 101, 102, 103, 104]
     assert all(r["score"] == 1.0 for r in rows)
+
+
+def test_term_range_matches_member_terms(naive):
+    # [merge TO part] over the fixture vocab = {merge, order, part};
+    # exclusive bounds leave {order} only
+    incl = {r["doc_id"] for r in naive.search("content:[merge TO part]", 500).collect()}
+    want = {r["doc_id"] for r in naive.search("content: IN [merge order part]", 500).collect()}
+    assert incl == want and incl
+    excl = {r["doc_id"] for r in naive.search("content:{merge TO part}", 500).collect()}
+    want_x = {r["doc_id"] for r in naive.search("content: IN [order]", 500).collect()}
+    assert excl == want_x and excl
+
+
+def test_term_range_constant_score(naive):
+    rows = naive.search("content:[merge TO part]", 5).collect()
+    assert rows and all(r["score"] == 1.0 for r in rows)
+
+
+def test_term_range_excludes_deleted_docs(spark, docs, tmp_path_factory):
+    # segmented engine with tombstones: deleted docs leave the range's
+    # match set (constant scorers honour live-docs like every node)
+    root = str(tmp_path_factory.mktemp("trdel"))
+    si = SegmentedIndex(root)
+    si.add_segment(docs, fingerprint="all", n_partitions=4)
+    eng = si.engine(spark)
+    live = {r["doc_id"] for r in eng.search("content:[merge TO part]", 500).collect()}
+    victims = sorted(live)[:3]
+    si.delete_docs(spark, victims)
+    eng2 = si.engine(spark)
+    after = {r["doc_id"] for r in eng2.search("content:[merge TO part]", 500).collect()}
+    assert after == live - set(victims)
 
 
 def test_match_all_counts_every_doc(naive, docs):
