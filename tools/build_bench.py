@@ -73,6 +73,13 @@ def main() -> None:
             spark, "/root/testdata/sf0.1", replicate, work, files=128
         )
         # alternate A/B/B/A per rep pair to cancel monotone drift
+        # one discarded warmup build: the freshly-written replicated
+        # corpus is cold on first read (measured ~50 s extra at 300k
+        # docs on this box) — without this the first timed arm eats the
+        # page-cache fill and the A/B/B/A alternation can't cancel it
+        warm = run_arm(spark, big, work, "carry", 99)
+        shutil.rmtree(warm["idx"], ignore_errors=True)
+        print(json.dumps({"warmup_wall": warm["wall"]}), flush=True)
         order = []
         for r in range(reps):
             order += (
