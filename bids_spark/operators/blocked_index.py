@@ -64,7 +64,7 @@ from bids_spark.operators.chunkgrid import (
     OM_SLICE_CAP,
     chunk_grid,
 )
-from bids_spark.operators.codec import BLOCK_SIZE, encode_block
+from bids_spark.operators.codec import BLOCK_SIZE, bm25_scores_np, encode_block
 
 _SPLIT = re.compile(r"[\W_]+", flags=re.UNICODE)
 
@@ -153,16 +153,64 @@ def spimi_partial_postings(
     )
 
 
-def _block_encoder(with_positions: bool = False, store_dl: bool = False):
-    """Streaming block encoder over (term, doc_id, tf, idf, score
-    [, positions]) batches sorted by (term, doc_id) within the
-    partition.  Scores are already computed JVM-side (whole-stage
-    codegen) before the range shuffle — the Python worker only packs
-    bytes.  Carries the trailing partial term-run between Arrow batches
-    (O(batch) memory)."""
+def _block_encoder(
+    with_positions: bool = False,
+    store_dl: bool = False,
+    idf_dir: str | None = None,
+    avgdl: float | None = None,
+):
+    """Streaming block encoder over (term, doc_id, tf [, idf, score]
+    [, dl] [, positions]) batches sorted by (term, doc_id) within the
+    partition.  Carries the trailing partial term-run between Arrow
+    batches (O(batch) memory).
+
+    Two scoring sources:
+
+    - idf_dir=None (join twin): idf and score arrive as columns,
+      computed JVM-side behind a postings ⋈ term_df join — at 10^12
+      docs a vocabulary too large to broadcast makes that join the
+      build's SECOND full shuffle of the postings relation.
+    - idf_dir set (default): the batch carries only (tf, dl); idf
+      comes from the tiny sorted ``termidf`` sidecar, range-read per
+      Arrow batch with pyarrow (terms arrive sorted, so each read is
+      one row-group-pruned slice — a manual range co-partitioned
+      lookup Catalyst cannot express), and scores are computed here
+      via ``bm25_scores_np`` — the SAME function dl-mode decode uses
+      to recompute them, so payloads and block metadata are
+      bit-identical to the join twin's (asserted in tests and by the
+      A/B tool's rank+bytes identity checks)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
+        idf_cache: dict[str, float] = {}
+
+        def ensure_idfs(terms: "pd.Series") -> None:
+            # drop cache entries below this batch's floor — earlier
+            # runs are finished (sorted input), keeps the cache
+            # O(batch vocab).  The floor is the BATCH min (which
+            # includes any carried term), never the min of the missing
+            # set — that could evict a still-pending carry term.
+            floor = terms.min()
+            for t in [t for t in idf_cache if t < floor]:
+                del idf_cache[t]
+            need = set(terms) - idf_cache.keys()
+            if not need:
+                return
+            import pyarrow.dataset as pds
+
+            lo, hi = min(need), max(need)
+            tbl = (
+                pds.dataset(idf_dir, format="parquet")
+                .to_table(
+                    columns=["term", "idf"],
+                    filter=(pds.field("term") >= lo)
+                    & (pds.field("term") <= hi),
+                )
+            )
+            idf_cache.update(
+                zip(tbl.column("term").to_pylist(),
+                    tbl.column("idf").to_pylist())
+            )
 
         def kth_largest(scores: np.ndarray, k: int) -> float:
             # 0.0 (no bound) when the run holds fewer than k postings —
@@ -174,12 +222,18 @@ def _block_encoder(with_positions: bool = False, store_dl: bool = False):
         def encode_term_run(run: pd.DataFrame) -> pd.DataFrame:
             docs = run["doc_id"].to_numpy()
             tfs = run["tf"].to_numpy()
-            scores = run["score"].to_numpy()
+            term = run["term"].iloc[0]
+            if idf_dir is None:
+                scores = run["score"].to_numpy()
+                idf = float(run["idf"].iloc[0])
+            else:
+                idf = idf_cache[term]
+                scores = bm25_scores_np(
+                    tfs, run["dl"].to_numpy(), idf, avgdl
+                )
             dls = run["dl"].to_numpy() if store_dl else None
             pos_cells = run["positions"] if with_positions else None
             rows = []
-            term = run["term"].iloc[0]
-            idf = float(run["idf"].iloc[0])
             s10 = kth_largest(scores, 10)
             s100 = kth_largest(scores, 100)
             for s in range(0, len(docs), BLOCK_SIZE):
@@ -224,6 +278,8 @@ def _block_encoder(with_positions: bool = False, store_dl: bool = False):
                 carry = None
             if pdf.empty:
                 continue
+            if idf_dir is not None:
+                ensure_idfs(pdf["term"])
             last_term = pdf["term"].iloc[-1]
             head = pdf[pdf["term"] != last_term]
             carry = pdf[pdf["term"] == last_term].copy()
@@ -420,80 +476,133 @@ class BlockedIndex:
         # blocks/terms carry a format tag so indexes written before a
         # codec/schema change rebuild those stages (postings/doclens/
         # stats are format-stable and stay resumable)
+        # idf-defer mode (default): the encoder reads idf from the tiny
+        # sorted termidf sidecar and scores with bm25_scores_np (the
+        # function dl-mode decode already uses — bit-identical to the
+        # JVM expression), so the postings relation is joined with
+        # NOTHING and shuffles exactly ONCE (the mandatory range
+        # partition), with rows 16 B/posting narrower (no idf/score
+        # columns).  The join twin stays runnable for A/B and serves
+        # as the fallback when postings lack the carried dl column
+        # (SPARK_GRAFT_BUILD_DL_CARRY=0) or the storage backend gives
+        # the Python workers no directly readable path (Iceberg).
+        defer_idf = (
+            os.environ.get("SPARK_GRAFT_BUILD_IDF_JOIN", "0") != "1"
+            and os.environ.get("SPARK_GRAFT_BUILD_DL_CARRY", "1") != "0"
+            and isinstance(self.io, ParquetTableIO)
+        )
         blk_fp = fingerprint + f"{FMT_TAG}-{score_mode}"
-        if not self._stage_done(man, "blocks", blk_fp):
+        if (
+            defer_idf
+            and not self._stage_done(man, "blocks", blk_fp)
+            and not self._stage_done(man, "termidf", fingerprint)
+        ):
             t0 = time.time()
             srow = stats.first()
-            n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
-            term_df = postings.groupBy("term").agg(F.count("*").alias("df"))
+            n_docs = int(srow["n_docs"])
             idf = F.log1p(
                 (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5))
             )
-            # exact per-posting BM25 computed JVM-side (codegen) BEFORE
-            # the range shuffle — the Python encoder only packs bytes,
-            # and the shuffle carries a handful of narrow columns
-            tf_d = F.col("tf").cast("double")
-            score = (
-                F.col("idf")
-                * tf_d
-                * F.lit(K1 + 1.0)
-                / (
-                    tf_d
-                    + F.lit(K1)
-                    * (
-                        F.lit(1.0 - B)
-                        + F.lit(B) * F.col("dl").cast("double") / F.lit(avgdl)
+            # range-partitioned + sorted by term: each encoder batch
+            # range-reads one row-group-pruned slice.  The groupBy
+            # map-side combines to ~vocab×partitions rows — at any
+            # scale this shuffle moves the VOCABULARY, not postings.
+            term_idf = (
+                postings.groupBy("term").agg(F.count("*").alias("df"))
+                .select("term", idf.alias("idf"))
+                .repartitionByRange(max(n_part // 8, 1), "term")
+                .sortWithinPartitions("term")
+            )
+            self.io.write(term_idf, "termidf")
+            self._mark(man, "termidf", fingerprint, seconds=time.time() - t0)
+
+        if not self._stage_done(man, "blocks", blk_fp):
+            t0 = time.time()
+            srow = stats.first()
+            n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
+            bucket_col = F.pmod(
+                F.xxhash64("term"), F.lit(n_buckets)
+            ).cast("int")
+            if defer_idf:
+                cols = ["term", "doc_id", "tf", "dl"]
+                if with_positions:
+                    cols.append("positions")
+                # no persist: the child of the range shuffle is a pure
+                # column-pruned postings scan, so the boundary-sampling
+                # job re-reads 3 narrow columns instead of pinning the
+                # full (positions-carrying) relation in executor memory
+                enriched = postings.select(*cols).withColumn(
+                    "bucket", bucket_col
+                )
+                encoder = _block_encoder(
+                    with_positions, score_mode == "dl",
+                    idf_dir=self.io.path("termidf"), avgdl=avgdl,
+                )
+            else:
+                term_df = postings.groupBy("term").agg(
+                    F.count("*").alias("df")
+                )
+                idf = F.log1p(
+                    (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                # join twin: exact per-posting BM25 computed JVM-side
+                # (codegen) BEFORE the range shuffle — the Python
+                # encoder only packs bytes
+                tf_d = F.col("tf").cast("double")
+                score = (
+                    F.col("idf")
+                    * tf_d
+                    * F.lit(K1 + 1.0)
+                    / (
+                        tf_d
+                        + F.lit(K1)
+                        * (
+                            F.lit(1.0 - B)
+                            + F.lit(B)
+                            * F.col("dl").cast("double") / F.lit(avgdl)
+                        )
                     )
                 )
-            )
-            cols = ["term", "doc_id", "tf", "idf", score.alias("score")]
-            if score_mode == "dl":
-                cols.append(F.col("dl"))
-            if with_positions:
-                cols.append(F.col("positions"))
-            # dl comes from the postings rows themselves (+pf2) — no
-            # doclens join: at 10^12 docs that join was a full shuffle
-            # of the postings relation on doc_id, the largest avoidable
-            # exchange in the build.  term_df stays a join (vocab can
-            # exceed broadcast size at web scale; AQE broadcasts it when
-            # runtime stats allow).  SPARK_GRAFT_BUILD_DL_CARRY=0 keeps
-            # the doclens-join twin runnable for interleaved A/B
-            # (tools/build_bench.py) — output is identical either way
-            # (dl ≡ the doclens value by construction, tested).
-            if os.environ.get("SPARK_GRAFT_BUILD_DL_CARRY", "1") == "0":
-                src = postings.drop("dl").join(doclens, "doc_id")
-            else:
-                src = postings
-            enriched = (
-                src
-                .join(term_df.select("term", idf.alias("idf")), "term")
-                .select(*cols)
-                .withColumn(
-                    "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+                cols = ["term", "doc_id", "tf", "idf", score.alias("score")]
+                if score_mode == "dl":
+                    cols.append(F.col("dl"))
+                if with_positions:
+                    cols.append(F.col("positions"))
+                # dl comes from the postings rows themselves (+pf2) —
+                # no doclens join; SPARK_GRAFT_BUILD_DL_CARRY=0 keeps
+                # the doclens-join twin runnable for interleaved A/B
+                # (tools/build_bench.py) — output identical either way
+                # (dl ≡ the doclens value by construction, tested).
+                if os.environ.get("SPARK_GRAFT_BUILD_DL_CARRY", "1") == "0":
+                    src = postings.drop("dl").join(doclens, "doc_id")
+                else:
+                    src = postings
+                enriched = (
+                    src
+                    .join(term_df.select("term", idf.alias("idf")), "term")
+                    .select(*cols)
+                    .withColumn("bucket", bucket_col)
                 )
-            )
-            # repartitionByRange SAMPLES its child to pick boundaries,
-            # which would execute the 3-way join twice — persist the
-            # enriched postings so sampling and the real shuffle share
-            # one materialization
-            enriched = enriched.persist()
+                # repartitionByRange SAMPLES its child to pick
+                # boundaries, which would execute the joins twice —
+                # persist so sampling and the real shuffle share one
+                # materialization
+                enriched = enriched.persist()
+                encoder = _block_encoder(with_positions, score_mode == "dl")
             blocks = (
                 enriched.repartitionByRange(n_part, "bucket", "term", "doc_id")
                 .sortWithinPartitions("bucket", "term", "doc_id")
-                .mapInPandas(
-                    _block_encoder(with_positions, score_mode == "dl"),
-                    BLOCK_SCHEMA,
-                )
-                .withColumn(
-                    "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
-                )
+                .mapInPandas(encoder, BLOCK_SCHEMA)
+                .withColumn("bucket", bucket_col)
             )
             self.io.write(
                 blocks, "blocks", partition_by=["bucket"],
                 options={"parquet.block.size": 8 * 1024 * 1024},
             )
-            enriched.unpersist()
+            if not defer_idf:
+                enriched.unpersist()
             dt = time.time() - t0
             # build metrics (postings/bytes/doc domain) are filled from
             # the TERMS table after the terms stage — the dictionary

@@ -1,17 +1,23 @@
-"""Interleaved A/B of the build's dl-carry path vs the doclens-join twin.
+"""Interleaved A/B/C of the build's join-elimination ladder.
 
-Round-4 change under test: postings carry dl per row (+pf2 format, free
-at tokenize time), so the blocks stage scores without joining the
-doclens table — removing a full shuffle of the postings relation on
-doc_id — and build metrics come from the terms-dictionary scan instead
-of a second full read of the just-written payload bytes.
+Arms (same code, two env switches):
 
-Both arms run the SAME code with only SPARK_GRAFT_BUILD_DL_CARRY
-flipped (blocks-stage join vs carried column; postings table identical),
-alternating A/B/B/A to cancel machine drift, fresh corpus + index dir
-per run.  Reports per-arm build wall, per-stage seconds, and scheduled
-job counts, plus a rank-identity assertion between indexes built by the
-two arms.
+- defer   (default path): postings carry dl (+pf2) AND idf comes from
+          the sorted termidf sidecar read inside the encoder — the
+          postings relation joins with NOTHING and shuffles exactly
+          once (the mandatory range partition), 16 B/posting narrower.
+- idfjoin (SPARK_GRAFT_BUILD_IDF_JOIN=1): dl carried, idf via the
+          postings ⋈ term_df join (JVM-side scoring, enriched persist).
+- join    (SPARK_GRAFT_BUILD_DL_CARRY=0): both joins — the round-3
+          shape (postings ⋈ doclens ⋈ term_df).
+
+Locally AQE broadcasts both small sides, so arm gaps here bound the
+*overhead* of each mechanism, not the cluster-scale win (a vocabulary
+or doclens table too large to broadcast turns each join into a full
+shuffle of the postings relation — the thing the defer path removes by
+construction).  Arms alternate in a drift-cancelling order with a
+discarded warmup build (cold corpus read measured ~50 s at 300k docs);
+rank identity + bytes/posting equality asserted across all arms.
 
 Usage: python tools/build_bench.py [reps=2] [replicate=20]
 """
@@ -34,9 +40,29 @@ from bids_spark.sources.replicate import replicated_corpus  # noqa: E402
 
 QUERIES = ["data", "merge join", "merge AND join", '"merge join"']
 
+ARM_ENV = {
+    "defer": {"SPARK_GRAFT_BUILD_DL_CARRY": "1", "SPARK_GRAFT_BUILD_IDF_JOIN": "0"},
+    "idfjoin": {"SPARK_GRAFT_BUILD_DL_CARRY": "1", "SPARK_GRAFT_BUILD_IDF_JOIN": "1"},
+    # idfjoin with broadcast joins disabled: what the join path DOES at
+    # the target scale, where a 10^8-term × ~20 B vocabulary (and the
+    # doclens relation) exceed any broadcast threshold and Catalyst
+    # must sort-merge — i.e. fully shuffle the postings relation a
+    # second time.  The defer arm's lead over THIS arm is the
+    # designed-for win; its lead over plain idfjoin is only overhead.
+    "idfjoin_smj": {"SPARK_GRAFT_BUILD_DL_CARRY": "1", "SPARK_GRAFT_BUILD_IDF_JOIN": "1"},
+    "join": {"SPARK_GRAFT_BUILD_DL_CARRY": "0", "SPARK_GRAFT_BUILD_IDF_JOIN": "1"},
+}
+
+_BCAST_CONFS = (
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold",
+)
+
 
 def run_arm(spark, big, work, arm: str, rep: int) -> dict:
-    os.environ["SPARK_GRAFT_BUILD_DL_CARRY"] = "1" if arm == "carry" else "0"
+    os.environ.update(ARM_ENV[arm])
+    for c in _BCAST_CONFS:
+        spark.conf.set(c, "-1" if arm == "idfjoin_smj" else "10485760")
     sc = spark.sparkContext
     jobs_before = len(sc.statusTracker().getJobIdsForGroup(None))
     idx = os.path.join(work, f"idx-{arm}-{rep}")
@@ -77,33 +103,39 @@ def main() -> None:
         # corpus is cold on first read (measured ~50 s extra at 300k
         # docs on this box) — without this the first timed arm eats the
         # page-cache fill and the A/B/B/A alternation can't cancel it
-        warm = run_arm(spark, big, work, "carry", 99)
+        warm = run_arm(spark, big, work, "defer", 99)
         shutil.rmtree(warm["idx"], ignore_errors=True)
         print(json.dumps({"warmup_wall": warm["wall"]}), flush=True)
+        arms = list(ARM_ENV)
         order = []
         for r in range(reps):
-            order += (
-                [("carry", r), ("join", r)] if r % 2 == 0
-                else [("join", r), ("carry", r)]
-            )
+            seq = arms if r % 2 == 0 else arms[::-1]
+            order += [(a, r) for a in seq]
         for arm, r in order:
             res = run_arm(spark, big, work, arm, r)
             print(json.dumps({k: v for k, v in res.items() if k != "idx"}),
                   flush=True)
             runs.append(res)
 
-        # rank identity between the two arms' indexes (first rep)
-        a = next(r for r in runs if r["arm"] == "carry")
-        b = next(r for r in runs if r["arm"] == "join")
-        ea = BlockedSearchEngine(spark, BlockedIndex(a["idx"]), cache=False)
-        eb = BlockedSearchEngine(spark, BlockedIndex(b["idx"]), cache=False)
+        # rank identity + bytes/posting across all arms (first rep each)
+        firsts = {a: next(r for r in runs if r["arm"] == a) for a in arms}
+        assert len({r["bytes_per_posting"] for r in firsts.values()}) == 1
+        engines = {
+            a: BlockedSearchEngine(spark, BlockedIndex(r["idx"]), cache=False)
+            for a, r in firsts.items()
+        }
         for q in QUERIES:
-            ra = [(x["doc_id"], round(x["score"], 9))
-                  for x in ea.search(q, 10).collect()]
-            rb = [(x["doc_id"], round(x["score"], 9))
-                  for x in eb.search(q, 10).collect()]
-            assert ra == rb, f"rank mismatch on {q!r}: {ra} vs {rb}"
-        print("rank identity: OK on", len(QUERIES), "queries", flush=True)
+            res_by_arm = {
+                a: [(x["doc_id"], round(x["score"], 9))
+                    for x in e.search(q, 10).collect()]
+                for a, e in engines.items()
+            }
+            vals = list(res_by_arm.values())
+            assert all(v == vals[0] for v in vals), (
+                f"rank mismatch on {q!r}: {res_by_arm}"
+            )
+        print("rank identity: OK on", len(QUERIES), "queries ×",
+              len(arms), "arms", flush=True)
 
         med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
         summary = {
@@ -111,14 +143,21 @@ def main() -> None:
                 "wall_med": med([r["wall"] for r in runs if r["arm"] == arm]),
                 "jobs": [r["jobs"] for r in runs if r["arm"] == arm],
             }
-            for arm in ("carry", "join")
+            for arm in arms
         }
-        summary["speedup_med"] = round(
-            summary["join"]["wall_med"] / summary["carry"]["wall_med"], 3
+        summary["defer_vs_idfjoin"] = round(
+            summary["idfjoin"]["wall_med"] / summary["defer"]["wall_med"], 3
+        )
+        summary["defer_vs_join"] = round(
+            summary["join"]["wall_med"] / summary["defer"]["wall_med"], 3
+        )
+        summary["defer_vs_smj"] = round(
+            summary["idfjoin_smj"]["wall_med"] / summary["defer"]["wall_med"], 3
         )
         print(json.dumps(summary), flush=True)
     finally:
         os.environ.pop("SPARK_GRAFT_BUILD_DL_CARRY", None)
+        os.environ.pop("SPARK_GRAFT_BUILD_IDF_JOIN", None)
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
 
