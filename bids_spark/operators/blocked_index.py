@@ -6,19 +6,31 @@ per 1000 docs, background sort-merge of segments) becomes a staged,
 resumable Spark dataflow:
 
   stage "postings"  documents → mapInPandas SPIMI tokenize/count →
-                    (term, doc_id, tf)  [map-side combine, shuffle on
-                    (term,doc_id) via groupBy]
-  stage "doclens"   groupBy(doc_id).sum(tf)  — NO second corpus scan:
-                    dl ≡ Σtf because dl counts kept tokens only
+                    (term, doc_id, tf, dl)  [map-side combine, shuffle
+                    on (term,doc_id) via groupBy; dl rides every row —
+                    known free at tokenize time, +pf2 format]
+  stage "doclens"   groupBy(doc_id).first(dl)  — NO second corpus
+                    tokenize: dl ≡ Σtf over kept tokens
   stage "stats"     1-row (n_docs, avgdl)  [n_docs from the corpus,
                     so zero-token docs count toward avgdl]
-  stage "blocks"    postings ⋈ doclens ⋈ term_df → exact per-posting
-                    BM25 → repartitionByRange(term, doc_id) +
+  stage "termidf"   term → idf (JVM idf_expr over groupBy-df),
+                    range-partitioned + sorted by term — a
+                    VOCABULARY-sized shuffle, never postings-sized
+  stage "blocks"    postings (joined with NOTHING) →
+                    repartitionByRange(bucket, term, doc_id) +
                     sortWithinPartitions → streaming mapInPandas block
-                    encoder (codec.py) → parquet sorted by term
-                    (with_positions=True also packs token positions —
-                    tantivy record:"position" — enabling phrase queries
-                    on this path)
+                    encoder (codec.py): idf range-read per sorted Arrow
+                    batch from the termidf sidecar (pyarrow row-group
+                    slice — a manual range-co-partitioned lookup),
+                    scores via bm25_scores_np (the decode-time twin →
+                    bit-identical payloads/metadata) → parquet sorted
+                    by term.  The postings relation shuffles exactly
+                    ONCE in the whole build — the mandatory range
+                    partition.  (with_positions=True also packs token
+                    positions — tantivy record:"position" — enabling
+                    phrase queries on this path.  Join twins behind
+                    SPARK_GRAFT_BUILD_IDF_JOIN / _DL_CARRY; non-parquet
+                    TableIO backends fall back to the join path.)
   stage "terms"     term dictionary (bucket, term → df, gmax, idf,
                     n_blocks) — tantivy's .term files (SURVEY §2 D2);
                     query-time gmax/idf lookups become a pruned scan
