@@ -24,7 +24,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bids_spark.functions.bm25 import bm25_term_score, idf_expr
+from bids_spark.functions.fields import URL_NS
 from bids_spark.functions.text import tokenize_text
+
+
+def namespace_url_terms(postings_df: DataFrame) -> DataFrame:
+    """Map a url-field postings frame into the shared term space by
+    prefixing every term with URL_NS (functions/fields.py) — the whole
+    second-field design: url postings become ordinary rows of the SAME
+    postings/blocks/dictionary tables, with dl carrying the URL token
+    count (the field's own length normalization)."""
+    return postings_df.withColumn(
+        "term", F.concat(F.lit(URL_NS), F.col("term"))
+    )
 
 
 def tokens(

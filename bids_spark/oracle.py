@@ -15,6 +15,7 @@ import math
 from collections import Counter
 
 from bids_spark import B, K1
+from bids_spark.functions.fields import is_url_term, url_term
 from bids_spark.functions.text import tokenize_query
 from bids_spark.plans.parser import (
     All,
@@ -34,20 +35,39 @@ def tokenize(text: str) -> list[str]:
 
 
 class OracleIndex:
-    def __init__(self, docs: dict[int, str]):
-        """docs: doc_id -> text."""
+    def __init__(self, docs: dict[int, str], urls: dict[int, str] | None = None):
+        """docs: doc_id -> text.  urls: doc_id -> url (optional second
+        indexed text field — tantivy indexes file_path with the same
+        default analyzer, bids/index.py:49-52 + meta.json:25-31; its
+        tokens live under the URL_NS term namespace with their OWN
+        per-field dl/avgdl, exactly like the engines)."""
         self.tokens = {d: tokenize(t) for d, t in docs.items()}
-        self.tf = {d: Counter(toks) for d, toks in self.tokens.items()}
+        url_tokens = {
+            d: [url_term(t) for t in tokenize(urls.get(d, ""))]
+            for d in docs
+        } if urls is not None else {d: [] for d in docs}
+        self.tf = {
+            d: Counter(toks) + Counter(url_tokens[d])
+            for d, toks in self.tokens.items()
+        }
         self.positions = {}
-        for d, toks in self.tokens.items():
+        for d in docs:
             pos: dict[str, list[int]] = {}
-            for i, t in enumerate(toks):
+            # each field has its OWN position stream (a url phrase
+            # never spans into content positions)
+            for i, t in enumerate(self.tokens[d]):
+                pos.setdefault(t, []).append(i)
+            for i, t in enumerate(url_tokens[d]):
                 pos.setdefault(t, []).append(i)
             self.positions[d] = pos
         self.dl = {d: len(toks) for d, toks in self.tokens.items()}
+        self.url_dl = {d: len(toks) for d, toks in url_tokens.items()}
         self.n_docs = len(docs)
         self.avgdl = (
             sum(self.dl.values()) / self.n_docs if self.n_docs else 0.0
+        )
+        self.avgdl_url = (
+            sum(self.url_dl.values()) / self.n_docs if self.n_docs else 0.0
         )
         self.df = Counter()
         for c in self.tf.values():
@@ -57,16 +77,27 @@ class OracleIndex:
     def idf(self, term_df: int) -> float:
         return math.log(1.0 + (self.n_docs - term_df + 0.5) / (term_df + 0.5))
 
-    def term_score(self, tf: int, dl: int, idf: float) -> float:
-        return idf * tf * (K1 + 1.0) / (tf + K1 * (1 - B + B * dl / self.avgdl))
+    def term_score(
+        self, tf: int, dl: int, idf: float, avgdl: float | None = None
+    ) -> float:
+        a = self.avgdl if avgdl is None else avgdl
+        return idf * tf * (K1 + 1.0) / (tf + K1 * (1 - B + B * dl / a))
+
+    def _field_dl(self, term: str, d: int) -> tuple[int, float]:
+        """(dl, avgdl) of the term's field for doc d — BM25 length
+        normalization is per-field (tantivy fieldnorms per field)."""
+        if is_url_term(term):
+            return self.url_dl[d], self.avgdl_url
+        return self.dl[d], self.avgdl
 
     def _eval_term(self, t: str) -> dict[int, float]:
         idf = self.idf(self.df[t])
-        return {
-            d: self.term_score(c[t], self.dl[d], idf)
-            for d, c in self.tf.items()
-            if t in c
-        }
+        out = {}
+        for d, c in self.tf.items():
+            if t in c:
+                dl, a = self._field_dl(t, d)
+                out[d] = self.term_score(c[t], dl, idf, a)
+        return out
 
     def _eval_phrase(
         self, terms: tuple[str, ...], slop: int = 0
@@ -77,6 +108,10 @@ class OracleIndex:
         for d, pos in self.positions.items():
             if any(t not in pos for t in terms):
                 continue
+            # members of one phrase share one field (parser invariant:
+            # a phrase atom is scoped to a single field), so the length
+            # normalization is that field's
+            dl, a = self._field_dl(terms[0], d)
             if slop > 0:
                 # tantivy sloppy-phrase count (functions/slop.py); the
                 # slop=0 exact chain below stays independent of it
@@ -84,14 +119,14 @@ class OracleIndex:
 
                 tf = phrase_tf_slop([pos[t] for t in terms], slop)
                 if tf:
-                    out[d] = self.term_score(tf, self.dl[d], idf)
+                    out[d] = self.term_score(tf, dl, idf, a)
                 continue
             ends = pos[terms[0]]
             for t in terms[1:]:
                 nxt = set(pos[t])
                 ends = [p + 1 for p in ends if p + 1 in nxt]
             if ends:
-                out[d] = self.term_score(len(ends), self.dl[d], idf)
+                out[d] = self.term_score(len(ends), dl, idf, a)
         return out
 
     def _eval(self, node) -> dict[int, float]:

@@ -58,11 +58,20 @@ exposes (`index.parse_query(q, ["content"])` at
       prefix expansion semantics can't be verified against the
       reference stack here — documented divergence, not a silent one.
     - `content:term` / `content:"a b"` → field-scoped query.  The
-      schema declares exactly one text field (`content`, the parse
-      default at bids/index.py:147), so scoping to it is the identity;
-      any OTHER field name raises ValueError — tantivy's QueryParser
-      errors on undeclared fields, and silently treating `title:x` as
-      a phrase (the previous behaviour) was wrong semantics.
+      schema declares TWO indexed text fields (`file_path` — our
+      `url` — and `content`, bids/index.py:49-52; both confirmed
+      indexed with positions on disk at playground/bids_index/
+      meta.json:25-44).  `parse_query(q, ["content"])` at
+      bids/index.py:147 only sets the DEFAULT field for unqualified
+      atoms; explicit `file_path:foo` still resolves against the
+      schema, so this parser accepts `url:term`, `url:"a b"` (phrase
+      over the url token stream), `url:[a TO b]` and `url: IN [...]`
+      alongside the content forms.  url atoms map to namespaced terms
+      (functions/fields.py URL_NS) so every engine stays field-
+      agnostic downstream.  Any OTHER field name raises ValueError —
+      tantivy's QueryParser errors on undeclared fields, and silently
+      treating `title:x` as a phrase (the pre-round-3 behaviour) was
+      wrong semantics.
 
 Terms are run through the same tokenizer as documents
 (functions.text.tokenize_query); a quoted string whose tokenization
@@ -79,12 +88,19 @@ import math
 import re
 from dataclasses import dataclass, field
 
+from bids_spark.functions.fields import (
+    CONTENT_RANGE_FLOOR,
+    URL_NS,
+    URL_RANGE_CEIL,
+    url_term,
+)
 from bids_spark.functions.text import tokenize_query
 
-# Declared text fields (the reference schema's only queryable text
-# field is `content`, bids/index.py:49-52); `field:term` scoping to it
-# is the identity, any other field is a parse error.
-FIELDS = frozenset({"content"})
+# Declared text fields (the reference schema's two indexed text
+# fields, bids/index.py:49-52: file_path → url, content); scoping to
+# `content` is the identity, `url` namespaces tokens (URL_NS), any
+# other field is a parse error.
+FIELDS = frozenset({"content", "url"})
 
 
 @dataclass(frozen=True)
@@ -294,8 +310,13 @@ class _Parser:
         return self._atom()
 
     @staticmethod
-    def _tokens_atom(text: str):
+    def _tokens_atom(text: str, fld: str = "content"):
         terms = tokenize_query(text)
+        if fld == "url":
+            # url-field atoms become namespaced terms; a multi-token
+            # url atom is a phrase over the url token stream (tantivy
+            # tokenizes file_path with the same default analyzer)
+            terms = [url_term(t) for t in terms]
         if not terms:
             return None
         if len(terms) == 1:
@@ -367,7 +388,7 @@ class _Parser:
                     f"({toks}) — use single-token values"
                 )
             if toks:
-                terms.append(toks[0])
+                terms.append(url_term(toks[0]) if fld == "url" else toks[0])
         return TermSet(tuple(sorted(set(terms))))
 
     @staticmethod
@@ -382,13 +403,13 @@ class _Parser:
                 "(expected field:[lo TO hi], * for an open end)"
             )
         fld, lb, lo_s, hi_s, rb = m.groups()
-        if fld.lower() == "content":
-            return _Parser._parse_term_range(lb, lo_s, hi_s, rb)
+        if fld.lower() in ("content", "url"):
+            return _Parser._parse_term_range(lb, lo_s, hi_s, rb, fld.lower())
         if fld.lower() != "doc_id":
             raise ValueError(
                 "range queries are supported on the doc_id fast field "
-                "and the content term dictionary only (reference "
-                f"bids/index.py:53-55), got {fld!r}"
+                "and the content/url term dictionaries only (reference "
+                f"bids/index.py:49-55), got {fld!r}"
             )
 
         def bound(s: str, excl_adj: int) -> int | None:
@@ -408,7 +429,9 @@ class _Parser:
         )
 
     @staticmethod
-    def _parse_term_range(lb: str, lo_s: str, hi_s: str, rb: str) -> TermRange:
+    def _parse_term_range(
+        lb: str, lo_s: str, hi_s: str, rb: str, fld: str = "content"
+    ) -> TermRange:
         def bound(s: str) -> str | None:
             if s == "*":
                 return None
@@ -421,10 +444,23 @@ class _Parser:
                 )
             return toks[0]
 
-        return TermRange(
-            bound(lo_s), bound(hi_s),
-            lo_incl=(lb == "["), hi_incl=(rb == "]"),
-        )
+        lo, hi = bound(lo_s), bound(hi_s)
+        lo_incl, hi_incl = (lb == "["), (rb == "]")
+        if fld == "url":
+            # map into the URL_NS slice of term space: open ends become
+            # the namespace's own floor/ceiling so the range can never
+            # leak into content terms (engines stay field-agnostic)
+            lo = url_term(lo) if lo is not None else URL_NS
+            if hi is not None:
+                hi = url_term(hi)
+            else:
+                hi, hi_incl = URL_RANGE_CEIL, False
+        elif lo is None:
+            # content range with an open start: floor it ABOVE the url
+            # namespace (all ns terms < "\x02" < every content token) —
+            # a no-op on single-field indexes
+            lo = CONTENT_RANGE_FLOOR
+        return TermRange(lo, hi, lo_incl=lo_incl, hi_incl=hi_incl)
 
     def _atom(self):
         kind, val = self.next()
@@ -516,12 +552,13 @@ class _Parser:
                     f"(declared fields: {', '.join(sorted(FIELDS))})"
                 )
             if not rest:
-                # `content:"a b"` — the quote ended the word token
+                # `content:"a b"` / `url:"a b"` — the quote ended the
+                # word token
                 if self.peek()[0] == "phrase":
                     _, qval = self.next()
-                    return self._tokens_atom(qval.strip('"'))
+                    return self._tokens_atom(qval.strip('"'), fld.lower())
                 return None
-            val = rest
+            return self._tokens_atom(rest, fld.lower())
         # multi-token words (e.g. "foo.bar") degrade to a phrase
         return self._tokens_atom(val)
 
@@ -560,7 +597,9 @@ def parse_query(q: str) -> Bool:
 def positive_terms(node) -> list[str]:
     """Every term that can MATCH (must + should, recursively), in
     first-appearance order, deduped — the highlightable term set for
-    snippet generation (must_not terms never appear in a hit)."""
+    snippet generation (must_not terms never appear in a hit).
+    url-namespaced terms are excluded: snippets highlight CONTENT text
+    and a url token never occurs there under its namespaced form."""
     out: list[str] = []
 
     def walk(n):
@@ -574,4 +613,7 @@ def positive_terms(node) -> list[str]:
 
     walk(node)
     seen: set[str] = set()
-    return [t for t in out if not (t in seen or seen.add(t))]
+    return [
+        t for t in out
+        if not t.startswith(URL_NS) and not (t in seen or seen.add(t))
+    ]

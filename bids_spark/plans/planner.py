@@ -417,16 +417,48 @@ class SearchEngine(BooleanEvaluator):
         doclens_df: DataFrame,
         stats_df: DataFrame,
         cache: bool = True,
+        url_doclens_df: DataFrame | None = None,
+        url_stats_df: DataFrame | None = None,
     ):
+        """url_doclens_df/url_stats_df: present iff `postings_pos` also
+        holds URL_NS-namespaced url-field postings (from_documents
+        url_field=True) — per-field BM25 length normalization needs the
+        url field's own (dl, avgdl); url_stats_df carries the SAME
+        n_docs as stats_df (idf's N is the corpus, tantivy semantics)
+        with the url field's avgdl."""
+        from bids_spark.functions.fields import url_term_col
+
         self.postings_pos = postings_pos
         self.doclens = doclens_df
         self.stats = stats_df
+        self.url_doclens = url_doclens_df
         row = stats_df.select("n_docs", "avgdl").first()
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
-        self.scored = scored_postings(
-            postings_pos.select("term", "doc_id", "tf"), doclens_df, stats_df
-        )
+        self.avgdl_url: float | None = None
+        if url_stats_df is not None:
+            urow = url_stats_df.select("avgdl").first()
+            self.avgdl_url = (
+                float(urow["avgdl"]) if urow["avgdl"] is not None else 0.0
+            )
+            # per-field impact scores: each field's postings score
+            # against its OWN (doclens, avgdl); df/idf stay per term
+            # (namespacing keeps the two vocabularies disjoint)
+            ns = url_term_col(F.col("term"))
+            self.scored = scored_postings(
+                postings_pos.filter(~ns).select("term", "doc_id", "tf"),
+                doclens_df, stats_df,
+            ).unionByName(
+                scored_postings(
+                    postings_pos.filter(ns).select("term", "doc_id", "tf"),
+                    url_doclens_df, url_stats_df,
+                )
+            )
+        else:
+            self.scored = scored_postings(
+                postings_pos.select("term", "doc_id", "tf"),
+                doclens_df, stats_df,
+            )
         if cache:
             self.scored = self.scored.cache()
             self.postings_pos = self.postings_pos.cache()
@@ -438,12 +470,34 @@ class SearchEngine(BooleanEvaluator):
         id_col: str = "doc_id",
         text_col: str = "text",
         cache: bool = True,
+        url_field: bool = False,
+        url_col: str = "url",
     ) -> "SearchEngine":
+        """url_field=True also indexes `url_col` as a second text field
+        (the reference indexes file_path alongside content with the
+        same analyzer, bids/index.py:49-52) — its tokens live under the
+        URL_NS namespace with their own positions stream and per-field
+        dl/avgdl."""
+        pp = postings_with_positions(docs, id_col, text_col)
+        if not url_field:
+            return cls(
+                pp,
+                doclens(docs, id_col, text_col),
+                corpus_stats(docs, id_col, text_col),
+                cache=cache,
+            )
+        from bids_spark.operators.index_build import namespace_url_terms
+
+        upp = namespace_url_terms(
+            postings_with_positions(docs, id_col, url_col)
+        )
         return cls(
-            postings_with_positions(docs, id_col, text_col),
+            pp.unionByName(upp),
             doclens(docs, id_col, text_col),
             corpus_stats(docs, id_col, text_col),
             cache=cache,
+            url_doclens_df=doclens(docs, id_col, url_col),
+            url_stats_df=corpus_stats(docs, id_col, url_col),
         )
 
     # ---- node evaluation -------------------------------------------------
@@ -452,6 +506,19 @@ class SearchEngine(BooleanEvaluator):
         return self.scored.filter(F.col("term") == t.term).select("doc_id", "score")
 
     def _eval_phrase(self, p: Phrase) -> DataFrame:
+        from bids_spark.functions.fields import is_url_term
+
+        if is_url_term(p.terms[0]):
+            # url phrases normalize by the url field's (dl, avgdl); the
+            # parser scopes a phrase to ONE field, so terms[0] decides
+            if self.url_doclens is None:
+                # engine built without the url field: no ns postings
+                # exist, the phrase matches nothing
+                return self._empty_scores()
+            return eval_phrase(
+                self.postings_pos, self.url_doclens, self.n_docs,
+                self.avgdl_url, p,
+            )
         return eval_phrase(
             self.postings_pos, self.doclens, self.n_docs, self.avgdl, p
         )
