@@ -70,6 +70,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bids_spark import B, K1, MAX_TOKEN_LEN
+from bids_spark.functions.fields import URL_NS as _URL_NS
+from bids_spark.functions.fields import avgdl_col, url_term_col
 from bids_spark.io import CommitLog, ParquetTableIO, PosixRenameLog, TableIO
 from bids_spark.operators.chunkgrid import (
     CM_BUILD_MIN_BLOCKS,
@@ -170,6 +172,7 @@ def _block_encoder(
     store_dl: bool = False,
     idf_dir: str | None = None,
     avgdl: float | None = None,
+    avgdl_url: float | None = None,
 ):
     """Streaming block encoder over (term, doc_id, tf [, idf, score]
     [, dl] [, positions]) batches sorted by (term, doc_id) within the
@@ -240,8 +243,16 @@ def _block_encoder(
                 idf = float(run["idf"].iloc[0])
             else:
                 idf = idf_cache[term]
+                # per-field length normalization: a url-namespaced
+                # term's dl is the URL token count, scored against the
+                # url field's avgdl (functions/fields.py design note)
+                a = (
+                    avgdl_url
+                    if avgdl_url is not None and term.startswith(_URL_NS)
+                    else avgdl
+                )
                 scores = bm25_scores_np(
-                    tfs, run["dl"].to_numpy(), idf, avgdl
+                    tfs, run["dl"].to_numpy(), idf, a
                 )
             dls = run["dl"].to_numpy() if store_dl else None
             pos_cells = run["positions"] if with_positions else None
@@ -392,6 +403,8 @@ class BlockedIndex:
         with_positions: bool = False,
         score_mode: str = "dl",
         cm_sidecar: bool | None = None,
+        url_field: bool = False,
+        url_col: str = "url",
     ) -> dict:
         """Build all stages (resumable). Returns the manifest.
 
@@ -427,6 +440,16 @@ class BlockedIndex:
         (8 B/posting) for read-only decode.  Rank/score-identical
         either way (codec.bm25_scores_np mirrors the Catalyst
         expression operand-for-operand).
+
+        url_field: also index `url_col` as a second text field — the
+        reference indexes file_path alongside content with the same
+        analyzer (bids/index.py:49-52; meta.json:25-44).  url tokens
+        land in the SAME postings/blocks/terms/cm tables under the
+        URL_NS term namespace (functions/fields.py), each posting's dl
+        carrying the URL token count, so every downstream stage and
+        serving path is field-agnostic; the only new state is one
+        manifest scalar (avgdl_url) for the per-field BM25 length
+        normalization.  Forces the builtin tokenizer.
         """
         spark = docs.sparkSession
         man = self._manifest()
@@ -434,7 +457,10 @@ class BlockedIndex:
         # +pf2: postings carry dl per posting (computed free at tokenize
         # time) — indexes whose postings stage predates the column
         # rebuild it on resume instead of crashing the blocks stage
-        fingerprint = fingerprint + "+pf2" + ("+pos" if with_positions else "")
+        fingerprint = (
+            fingerprint + "+pf2" + ("+pos" if with_positions else "")
+            + ("+uf" if url_field else "")
+        )
 
         if not self._stage_done(man, "postings", fingerprint):
             t0 = time.time()
@@ -443,11 +469,24 @@ class BlockedIndex:
                     postings_with_positions as _builtin_pos,
                 )
                 part = _builtin_pos(docs, id_col, text_col, with_dl=True)
-            elif tokenizer == "spimi":
+            elif tokenizer == "spimi" and not url_field:
                 part = spimi_partial_postings(docs, id_col, text_col, with_dl=True)
             else:
                 from bids_spark.operators.index_build import postings as _builtin
                 part = _builtin(docs, id_col, text_col, with_dl=True)
+            if url_field:
+                from bids_spark.operators.index_build import (
+                    namespace_url_terms,
+                    postings as _builtin_plain,
+                    postings_with_positions as _builtin_pos2,
+                )
+
+                ubuild = _builtin_pos2 if with_positions else _builtin_plain
+                part = part.unionByName(
+                    namespace_url_terms(
+                        ubuild(docs, id_col, url_col, with_dl=True)
+                    )
+                )
             self.io.write(part, "postings")
             self._mark(man, "postings", fingerprint, seconds=time.time() - t0)
         postings = self.io.read(spark, "postings")
@@ -455,8 +494,15 @@ class BlockedIndex:
         if not self._stage_done(man, "doclens", fingerprint):
             t0 = time.time()
             # dl rides every posting row (+pf2), so the doclens table is
-            # a first() per doc, not a sum; zero-token docs via left join
-            doclens = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+            # a first() per doc, not a sum; zero-token docs via left join.
+            # url-namespaced postings carry the URL field's dl — the
+            # doclens table is the CONTENT field's lengths only.
+            dl_src = (
+                postings.filter(~url_term_col(F.col("term")))
+                if url_field
+                else postings
+            )
+            doclens = dl_src.groupBy("doc_id").agg(F.first("dl").alias("dl"))
             all_ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
             doclens = (
                 all_ids.join(doclens, "doc_id", "left")
@@ -533,6 +579,20 @@ class BlockedIndex:
             t0 = time.time()
             srow = stats.first()
             n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
+            avgdl_url: float | None = None
+            if url_field:
+                # the url field's average length: Σ per-doc url dl over
+                # ALL corpus docs (docs with no url tokens contribute
+                # 0, same avg convention as the content stats) — one
+                # 2-column aggregation of the ns postings slice
+                tot = (
+                    postings.filter(url_term_col(F.col("term")))
+                    .groupBy("doc_id")
+                    .agg(F.first("dl").alias("dl"))
+                    .agg(F.sum("dl").alias("t"))
+                    .first()
+                )
+                avgdl_url = float(tot["t"] or 0) / max(n_docs, 1)
             bucket_col = F.pmod(
                 F.xxhash64("term"), F.lit(n_buckets)
             ).cast("int")
@@ -550,6 +610,7 @@ class BlockedIndex:
                 encoder = _block_encoder(
                     with_positions, score_mode == "dl",
                     idf_dir=self.io.path("termidf"), avgdl=avgdl,
+                    avgdl_url=avgdl_url,
                 )
             else:
                 term_df = postings.groupBy("term").agg(
@@ -563,6 +624,9 @@ class BlockedIndex:
                 # (codegen) BEFORE the range shuffle — the Python
                 # encoder only packs bytes
                 tf_d = F.col("tf").cast("double")
+                # per-field avgdl dispatch: collapses to F.lit(avgdl)
+                # when url_field is off — plans byte-identical to before
+                a_col = avgdl_col(F.col("term"), avgdl, avgdl_url)
                 score = (
                     F.col("idf")
                     * tf_d
@@ -573,7 +637,7 @@ class BlockedIndex:
                         * (
                             F.lit(1.0 - B)
                             + F.lit(B)
-                            * F.col("dl").cast("double") / F.lit(avgdl)
+                            * F.col("dl").cast("double") / a_col
                         )
                     )
                 )
@@ -629,6 +693,8 @@ class BlockedIndex:
                 with_positions=with_positions,
                 score_mode=score_mode,
                 avgdl=avgdl,
+                url_field=url_field,
+                avgdl_url=avgdl_url,
             )
 
         if not self._stage_done(man, "terms", blk_fp):
@@ -808,6 +874,22 @@ class BlockedIndex:
         if "avgdl" in st:
             return float(st["avgdl"])
         raise KeyError("manifest has no avgdl (pre-fmt3 index)")
+
+    @property
+    def url_field(self) -> bool:
+        """True iff this index also holds URL_NS-namespaced url-field
+        postings (build url_field=True)."""
+        st = self._manifest()["stages"].get("blocks", {})
+        return bool(st.get("url_field"))
+
+    @property
+    def avgdl_url(self) -> float | None:
+        """The url field's avgdl (manifest scalar) — None on indexes
+        built without the field (no ns terms exist there, so no
+        consumer ever needs it)."""
+        st = self._manifest()["stages"].get("blocks", {})
+        v = st.get("avgdl_url")
+        return None if v is None else float(v)
 
     @property
     def doc_domain(self) -> tuple[int, int]:

@@ -47,6 +47,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bids_spark.functions.fields import is_url_term
 from bids_spark.io import CommitLog, ParquetTableIO, PosixRenameLog, TableIO
 from bids_spark.operators import chunkgrid
 from bids_spark.operators.blocked_index import BlockedIndex
@@ -458,6 +459,12 @@ class SegmentedIndex:
         segs = [BlockedIndex(p) for p in seg_paths]
         mans = [s._manifest()["stages"]["blocks"] for s in segs]
         with_pos = all(bool(m.get("with_positions")) for m in mans)
+        # url field carries through a merge iff every source indexed it
+        # (the engine enforces all-or-nothing; a mixed set surfaces as
+        # a content-only merged segment rather than a half-indexed url
+        # vocabulary).  The merged build recomputes avgdl_url from the
+        # unioned, tombstone-purged postings.
+        url_f = all(bool(m.get("url_field")) for m in mans)
         # dl rides every posting row (+pf2 format) — the merged postings
         # must carry it so the blocks stage scores without a doclens join
         cols = (
@@ -487,6 +494,8 @@ class SegmentedIndex:
             if fp_c in (
                 base_fp_probe + "+pf2",
                 base_fp_probe + "+pf2+pos",
+                base_fp_probe + "+pf2+uf",
+                base_fp_probe + "+pf2+pos+uf",
             ):
                 break  # same compaction, crashed mid-way: resume it
             i += 1
@@ -499,7 +508,10 @@ class SegmentedIndex:
         # itself — fp here must mirror that so the staged unions are
         # recognized
         base_fp = base_fp_probe
-        fp = base_fp + "+pf2" + ("+pos" if with_pos else "")
+        fp = (
+            base_fp + "+pf2" + ("+pos" if with_pos else "")
+            + ("+uf" if url_f else "")
+        )
 
         def union_stage(stage: str, select_cols: list[str] | None):
             dfs = [s.io.read(spark, stage) for s in segs]
@@ -536,6 +548,7 @@ class SegmentedIndex:
             n_buckets=n_buckets,
             with_positions=with_pos,
             score_mode="dl",
+            url_field=url_f,
         )
         if replace:
             # single atomic commit point: the merged segment becomes
@@ -638,6 +651,29 @@ class SegmentedSearchEngine(BlockedSearchEngine):
         # under these, while decode uses the global self.avgdl — the
         # bound rescale needs the ratio (see module docstring)
         self._seg_avgdl = [float(m["avgdl"]) for m in mans]
+        # url field: all-or-nothing across segments — a mixed set would
+        # make global url df/avgdl semantically different from a single
+        # index over the same docs (some urls never indexed), so it is
+        # rejected like a positions mismatch rather than guessed around
+        url_flags = [bool(m.get("url_field")) for m in mans]
+        if any(url_flags) and not all(url_flags):
+            raise ValueError(
+                "segments disagree on url_field — rebuild or compact "
+                "so every segment indexes the same fields"
+            )
+        self._url_field = all(url_flags)
+        if self._url_field:
+            # global url avgdl: Σ seg totals / N (each seg total is
+            # avgdl_url_seg × n_docs_seg — exact as a real number,
+            # same weighted form as the content avgdl above)
+            self.avgdl_url: float | None = float(
+                sum(float(m["avgdl_url"] or 0.0) * m["n_docs"] for m in mans)
+                / self.n_docs
+            )
+            self._seg_avgdl_url = [float(m["avgdl_url"] or 0.0) for m in mans]
+        else:
+            self.avgdl_url = None
+            self._seg_avgdl_url = [0.0] * len(mans)
         self._seg_blocks = [s.blocks(spark) for s in segments]
         self._seg_tdicts = [s.terms(spark) for s in segments]
         self._stats_cache = (self.n_docs, self.avgdl)
@@ -740,8 +776,10 @@ class SegmentedSearchEngine(BlockedSearchEngine):
                 self._seg_idf[(t, i)] = float(m["idf"])
                 r = idf_g[t] / float(m["idf"]) if m["idf"] else 0.0
                 # avgdl correction: per-doc global/segment score ratio
-                # lies strictly in (min(1,a), max(1,a)), a = avgdl_g/avgdl_s
-                a = self.avgdl / self._seg_avgdl[i]
+                # lies strictly in (min(1,a), max(1,a)), a = avgdl_g/
+                # avgdl_s — of the TERM'S FIELD (url terms rescale by
+                # the url field's averages)
+                a = self._a_ratio(t, i)
                 up, down = max(1.0, a), min(1.0, a)
                 gmax = max(gmax, float(m["gmax"]) * r * up * _UP)
                 s10 = max(s10, float(m["s10"] or 0.0) * r * down * _DOWN)
@@ -756,6 +794,16 @@ class SegmentedSearchEngine(BlockedSearchEngine):
         return out
 
     # -- blocks view with global idf / rescaled bounds ------------------------
+
+    def _a_ratio(self, term: str, i: int) -> float:
+        """avgdl_g(field)/avgdl_seg(field) for the term's field in
+        segment i.  A segment whose url avgdl is 0 holds no url
+        postings — no dictionary/cm row of an ns term can come from
+        it, so the 1.0 fallback is never consumed."""
+        if is_url_term(term):
+            s = self._seg_avgdl_url[i]
+            return (self.avgdl_url / s) if s and self.avgdl_url else 1.0
+        return self.avgdl / self._seg_avgdl[i]
 
     def _term_blocks(self, terms: list[str]) -> DataFrame:
         return self._union_term_blocks(terms, range(len(self._seg_blocks)))
@@ -811,7 +859,23 @@ class SegmentedSearchEngine(BlockedSearchEngine):
             # linear idf ratio TIMES the avgdl upper correction
             # (+ulp guard).  Decode then recomputes scores with idf_g
             # and the global avgdl → exactly the single-index scores.
+            # With the url field the correction is per-FIELD (a term's
+            # bounds were computed under its own field's segment
+            # avgdl), so the literal becomes a namespace CASE.
             a_up = max(1.0, self.avgdl / self._seg_avgdl[i])
+            if self._url_field:
+                from bids_spark.functions.fields import url_term_col
+
+                su = self._seg_avgdl_url[i]
+                a_up_u = max(
+                    1.0,
+                    (self.avgdl_url / su) if su and self.avgdl_url else 1.0,
+                )
+                a_up_col = F.when(
+                    url_term_col(F.col("term")), F.lit(a_up_u * _UP)
+                ).otherwise(F.lit(a_up * _UP))
+            else:
+                a_up_col = F.lit(a_up * _UP)
             if idf_map is None:
                 # isin(meta) reproduces the inner join's drop of any
                 # block term lacking a dictionary row (shouldn't occur)
@@ -827,7 +891,7 @@ class SegmentedSearchEngine(BlockedSearchEngine):
                     "block_max_score",
                     F.col("block_max_score")
                     * (F.col("_idf_g") / F.col("idf"))
-                    * F.lit(a_up * _UP),
+                    * a_up_col,
                 )
                 .drop("idf")
                 .withColumnRenamed("_idf_g", "idf")
@@ -905,7 +969,7 @@ class SegmentedSearchEngine(BlockedSearchEngine):
         m = meta.get(t)
         if not idf_s or m is None:
             return None
-        a_up = max(1.0, self.avgdl / self._seg_avgdl[i])
+        a_up = max(1.0, self._a_ratio(t, i))
         return float(m["idf"]) / idf_s * a_up * _UP * _UP
 
     # Below this many candidate blocks (Σ n_blocks over the query

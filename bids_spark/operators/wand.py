@@ -92,6 +92,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bids_spark.functions.fields import URL_NS, avgdl_for, is_url_term
 from bids_spark.functions.hashing import term_bucket
 from bids_spark.operators import chunkgrid
 from bids_spark.operators.blocked_index import BlockedIndex
@@ -135,10 +136,12 @@ _DECODED_POS = T.StructType(
 )
 
 
-def _decode_udf(avgdl: float | None):
+def _decode_udf(avgdl: float | None, avgdl_url: float | None = None):
     """Decoder closure: f64 blocks read stored scores; dl-mode blocks
     recompute them from (tf, dl, idf column, avgdl) — bit-identical
-    (codec.bm25_scores_np)."""
+    (codec.bm25_scores_np).  `avgdl_url` selects the url field's
+    average length for URL_NS-namespaced terms (per-field BM25
+    normalization; None on single-field indexes)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -148,8 +151,13 @@ def _decode_udf(avgdl: float | None):
             for term, first_doc, payload, idf in zip(
                 pdf["term"], pdf["first_doc"], pdf["payload"], pdf["idf"]
             ):
+                a = (
+                    avgdl_url
+                    if avgdl_url is not None and term.startswith(URL_NS)
+                    else avgdl
+                )
                 d, _tf, s = decode_block(
-                    bytes(payload), int(first_doc), idf=idf, avgdl=avgdl
+                    bytes(payload), int(first_doc), idf=idf, avgdl=a
                 )
                 docs.append(d)
                 scores.append(s)
@@ -208,11 +216,16 @@ def _decode_pos_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def decode_blocks(blocks: DataFrame, avgdl: float | None = None) -> DataFrame:
+def decode_blocks(
+    blocks: DataFrame,
+    avgdl: float | None = None,
+    avgdl_url: float | None = None,
+) -> DataFrame:
     """blocks(term, first_doc, payload, idf, ...) → (term, doc_id,
-    score).  `avgdl` is required for dl-mode blocks."""
+    score).  `avgdl` is required for dl-mode blocks; `avgdl_url` for
+    dl-mode url-field blocks (URL_NS terms)."""
     return blocks.select("term", "first_doc", "payload", "idf").mapInPandas(
-        _decode_udf(avgdl), _DECODED
+        _decode_udf(avgdl, avgdl_url), _DECODED
     )
 
 
@@ -291,6 +304,9 @@ class BlockedSearchEngine(BooleanEvaluator):
             self.avgdl: float | None = index.avgdl  # manifest — no job
         except KeyError:
             self.avgdl = None  # pre-fmt3 index: f64 blocks need no avgdl
+        # url field's avgdl (manifest; None without the field) — the
+        # per-field BM25 normalization for URL_NS-namespaced terms
+        self.avgdl_url: float | None = index.avgdl_url
         if cache:
             # hot-serving mode: in-memory columnar blocks; term filters
             # still prune via InMemoryTableScan batch stats
@@ -356,7 +372,11 @@ class BlockedSearchEngine(BooleanEvaluator):
     # -- BooleanEvaluator hooks (generic/nested path) ------------------------
 
     def _decode(self, blocks: DataFrame) -> DataFrame:
-        return decode_blocks(blocks, self.avgdl)
+        return decode_blocks(blocks, self.avgdl, self.avgdl_url)
+
+    def _avgdl_of(self, term: str) -> float:
+        """Field-correct avgdl for a (possibly url-namespaced) term."""
+        return avgdl_for(term, self.avgdl, self.avgdl_url)
 
     def _live(self, df: DataFrame) -> DataFrame:
         """Tombstone seam for constant scorers (All/Range): identity
@@ -497,6 +517,24 @@ class BlockedSearchEngine(BooleanEvaluator):
         blocks = self._apply_range_ctx(blocks)
         decoded = self._decode_positions(blocks)
         n_docs, avgdl = self._stats()
+        if is_url_term(p.terms[0]):
+            # url phrase (parser scopes a phrase to one field): length-
+            # normalize by the url field's stats.  No ns postings exist
+            # on an index built without the field — provably empty.
+            if self.avgdl_url is None:
+                return self._empty()
+            avgdl = self.avgdl_url
+            if not self._phrase_dl_available():
+                # the non-fused twin joins the CONTENT doclens table for
+                # dl — wrong field.  dl-mode payloads carry the url dl
+                # per posting, so the fused path is the only exact one.
+                raise NotImplementedError(
+                    "url-field phrases need a dl-mode index (payload "
+                    "carries the url field's doc length); rebuild with "
+                    "score_mode='dl'"
+                )
+            idf_sum = sum(float(m["idf"]) for m in meta.values())
+            return eval_phrase_fused(decoded, avgdl, p, idf_sum=idf_sum)
         # phrase idf = Σ distinct member idfs — from the term dictionary
         idf_sum = sum(float(m["idf"]) for m in meta.values())
         if self.PHRASE_FUSED and self._phrase_dl_available():
@@ -1627,6 +1665,8 @@ class BlockedSearchEngine(BooleanEvaluator):
                 blocks = self._restrict_blocks(blocks, bp, rr)
             elif not meta:
                 continue  # single member term with zero postings
+            if is_url_term(p.terms[0]) and self.avgdl_url is None:
+                continue  # no ns postings on a single-field index
             blocks_parts.append(blocks)
             qattrs[qid] = {
                 "terms": list(p.terms),
@@ -1635,6 +1675,9 @@ class BlockedSearchEngine(BooleanEvaluator):
                 "slop": int(p.slop),
                 "pb": float(p.boost),
                 "ab": float(ab),
+                # per-field length normalization (url phrases score
+                # against avgdl_url; members share one field)
+                "avgdl": self._avgdl_of(p.terms[0]),
             }
         if not qattrs:
             return None
@@ -1717,6 +1760,17 @@ class BlockedSearchEngine(BooleanEvaluator):
         abq = lookup_expr(
             F.col("qid"), {q: a["ab"] for q, a in qattrs.items()}
         )
+        # per-qid avgdl: a plain literal when every batched phrase is
+        # content-field (the single-field plan stays byte-identical),
+        # a qid CASE when url phrases mix in
+        avgdls = {a["avgdl"] for a in qattrs.values()}
+        avgdl_expr = (
+            F.lit(avgdls.pop())
+            if len(avgdls) == 1
+            else lookup_expr(
+                F.col("qid"), {q: a["avgdl"] for q, a in qattrs.items()}
+            )
+        )
         return (
             per_doc.select("qid", "doc_id", "dl", tf_expr.alias("tf"))
             .filter(F.col("tf") > 0)
@@ -1725,7 +1779,7 @@ class BlockedSearchEngine(BooleanEvaluator):
                 "doc_id",
                 (
                     bm25_term_score(
-                        F.col("tf"), F.col("dl"), F.lit(avgdl), idf_case
+                        F.col("tf"), F.col("dl"), avgdl_expr, idf_case
                     )
                     * pb
                     * abq

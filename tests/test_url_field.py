@@ -1,0 +1,271 @@
+"""Second indexed text field (`url`) — rank/score identity across
+every engine and query shape.
+
+The reference indexes file_path alongside content (bids/index.py:49-52;
+on-disk proof at playground/bids_index/meta.json:25-44 — positions,
+fieldnorms, default tokenizer), and tantivy's parse_query default-field
+list does not block explicit field-scoped atoms, so `file_path:foo` is
+a reachable query surface today.  This engine maps it to `url:` over
+URL_NS-namespaced terms (functions/fields.py) with per-field BM25
+length normalization.  The brute-force OracleIndex (bids_spark/
+oracle.py) carries the committed semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bids_spark.functions.fields import URL_NS, url_term
+from bids_spark.oracle import OracleIndex
+from bids_spark.operators.blocked_index import BlockedIndex
+from bids_spark.operators.segments import SegmentedIndex
+from bids_spark.operators.wand import BlockedSearchEngine
+from bids_spark.plans.parser import (
+    Phrase,
+    Term,
+    TermRange,
+    TermSet,
+    parse_query,
+    positive_terms,
+)
+from bids_spark.plans.planner import SearchEngine
+
+DOCS = {
+    1: "merge the data tables now",
+    2: "join tables with merge",
+    3: "github merge tool for data",
+    4: "alpha beta gamma delta",
+    5: "data github pages and the web",
+    6: "the quick brown fox jumps",
+    7: "merge merge merge again",
+    8: "tables of data on the web",
+    9: "",  # empty content, url-only doc
+    10: "zeta eta theta",
+}
+URLS = {
+    1: "https://github.com/apache/merge",
+    2: "https://example.com/sql/join",
+    3: "https://gitlab.com/tools/merge-tool",
+    4: "https://github.io/alpha/pages",
+    5: "http://example.org/data/pages",
+    6: "https://news.site.com/fox/story",
+    7: "https://github.com/merge/merge",
+    8: "ftp://archive.example.net/data",
+    9: "https://empty.example.com/only/url",
+    10: "",  # empty url
+}
+
+QUERIES = [
+    "url:github",
+    "url:merge",                      # same token exists in BOTH fields
+    "merge url:merge",                # cross-field same token, one query
+    "merge url:github",
+    "url:com url:example",
+    'url:"github com"',
+    'url:"example com"~2',
+    "url:github^2.5 data",
+    "merge AND url:com",
+    "url:com AND url:github",
+    "-url:github merge data",
+    "+url:example -merge data",
+    "url: IN [gitlab example]",
+    "url:[gita TO gitz]",
+    "url:[* TO *]",
+    "content:[* TO z] url:ftp",
+    '"merge tool" url:tools',
+    "(url:github OR url:gitlab) AND merge",
+    "url:pages^0.5 content:data",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(d, DOCS[d], URLS[d]) for d in sorted(DOCS)]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, url string"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return OracleIndex(DOCS, URLS)
+
+
+@pytest.fixture(scope="module")
+def naive(corpus):
+    return SearchEngine.from_documents(corpus, url_field=True, cache=True)
+
+
+@pytest.fixture(scope="module")
+def blocked(spark, corpus, tmp_path_factory):
+    bi = BlockedIndex(str(tmp_path_factory.mktemp("urlidx") / "idx"))
+    bi.build(
+        corpus, fingerprint="urlf", n_buckets=4,
+        with_positions=True, score_mode="dl", url_field=True,
+    )
+    return BlockedSearchEngine(spark, bi, cache=True)
+
+
+def _rows(df):
+    return [
+        (r["rank"], r["doc_id"], round(r["score"], 9)) for r in df.collect()
+    ]
+
+
+def _want(oracle, q, k=10):
+    return [(r, d, round(s, 9)) for r, d, s in oracle.search(q, k)]
+
+
+# ---------------------------------------------------------------------------
+# parser surface
+# ---------------------------------------------------------------------------
+
+
+def test_parser_scopes_url_atoms():
+    ast = parse_query('url:github merge url:"a b" url:[a TO c] url: IN [x]')
+    t, m, p, tr, ts = ast.should
+    assert isinstance(t, Term) and t.term == url_term("github")
+    assert isinstance(m, Term) and m.term == "merge"
+    assert isinstance(p, Phrase) and p.terms == (url_term("a"), url_term("b"))
+    assert isinstance(tr, TermRange)
+    assert tr.lo == url_term("a") and tr.hi == url_term("c")
+    assert isinstance(ts, TermSet) and ts.terms == (url_term("x"),)
+
+
+def test_parser_open_bounds_stay_in_namespace():
+    tr = parse_query("url:[* TO *]").should[0]
+    assert tr.lo == URL_NS and tr.hi == "\x01u\x02" and not tr.hi_incl
+    cr = parse_query("content:[* TO b]").should[0]
+    # content open-start floors ABOVE the url namespace
+    assert cr.lo == "\x02" and URL_NS < cr.lo < "0"
+
+
+def test_parser_unknown_field_still_rejected():
+    with pytest.raises(ValueError, match="unknown field"):
+        parse_query("title:x")
+
+
+def test_positive_terms_excludes_url_namespace():
+    assert positive_terms(parse_query("merge url:github data")) == [
+        "merge", "data",
+    ]
+
+
+# ---------------------------------------------------------------------------
+# naive + blocked engines vs the oracle (the full shape matrix)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_naive_matches_oracle(naive, oracle, q):
+    assert _rows(naive.search(q, 10)) == _want(oracle, q)
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_blocked_matches_oracle(blocked, oracle, q):
+    assert _rows(blocked.search(q, 10)) == _want(oracle, q)
+
+
+def test_blocked_prune_off_identical(blocked, oracle):
+    for q in ("url:github", "merge url:merge", "url:com url:example"):
+        assert _rows(blocked.search(q, 10, prune=False)) == _want(oracle, q)
+
+
+def test_search_many_batch(blocked, oracle):
+    got = blocked.search_many({f"q{i}": q for i, q in enumerate(QUERIES)}, 10)
+    per = {}
+    for r in got.collect():
+        per.setdefault(r["qid"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+        )
+    for i, q in enumerate(QUERIES):
+        want = _want(oracle, q)
+        assert per.get(f"q{i}", []) == want, q
+
+
+def test_content_results_unchanged_by_url_field(spark, corpus, tmp_path):
+    """Adding the url field must not move any content-only query: the
+    content postings/doclens/stats are untouched by construction."""
+    bi0 = BlockedIndex(str(tmp_path / "plain"))
+    bi0.build(corpus, fingerprint="plain", n_buckets=4,
+              with_positions=True, score_mode="dl")
+    e0 = BlockedSearchEngine(spark, bi0)
+    bi1 = BlockedIndex(str(tmp_path / "withurl"))
+    bi1.build(corpus, fingerprint="wurl", n_buckets=4,
+              with_positions=True, score_mode="dl", url_field=True)
+    e1 = BlockedSearchEngine(spark, bi1)
+    for q in ("merge data", "merge AND tables", '"merge tool"',
+              "content:[data TO merge]", "-github data"):
+        assert _rows(e0.search(q, 10)) == _rows(e1.search(q, 10)), q
+
+
+def test_url_query_on_plain_index_matches_nothing(spark, corpus, tmp_path):
+    bi0 = BlockedIndex(str(tmp_path / "plain2"))
+    bi0.build(corpus, fingerprint="plain2", n_buckets=4,
+              with_positions=True, score_mode="dl")
+    e0 = BlockedSearchEngine(spark, bi0)
+    assert e0.search("url:github", 10).count() == 0
+    assert e0.search('url:"github com"', 10).count() == 0
+
+
+def test_url_terms_round_trip_dictionary(blocked):
+    """ns terms live in the same dictionary with their own df/idf."""
+    meta = blocked._term_meta([url_term("github"), "merge"])
+    assert set(meta) == {url_term("github"), "merge"}
+    # df of url:github = docs 1, 4, 7 = 3
+    assert int(meta[url_term("github")]["df"]) == 3
+
+
+# ---------------------------------------------------------------------------
+# segmented engine (append + deletes + compact)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def segmented(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("urlseg") / "root")
+    si = SegmentedIndex(root)
+    a = corpus.filter("doc_id <= 5")
+    b = corpus.filter("doc_id > 5")
+    si.add_segment(a, fingerprint="segA", n_buckets=4, url_field=True)
+    si.add_segment(b, fingerprint="segB", n_buckets=4, url_field=True)
+    return si
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_segmented_matches_oracle(spark, segmented, oracle, q):
+    eng = segmented.engine(spark)
+    got = _rows(eng.search(q, 10))
+    want = _want(oracle, q)
+    # segment-weighted avgdl differs from the direct average by float
+    # rounding only — compare at 9 dp like the rest of the suite
+    assert got == want, q
+
+
+def test_segmented_deletes_and_compact(spark, segmented, oracle):
+    si = segmented
+    si.delete_docs(spark, [3, 4])
+    eng = si.engine(spark)
+    got = [d for _, d, _ in _rows(eng.search("url:github merge", 10))]
+    assert 3 not in got and 4 not in got
+    merged = si.compact(spark, n_buckets=4)
+    assert merged.url_field and merged.avgdl_url is not None
+    live_docs = {d: t for d, t in DOCS.items() if d not in (3, 4)}
+    live_urls = {d: u for d, u in URLS.items() if d not in (3, 4)}
+    o2 = OracleIndex(live_docs, live_urls)
+    eng2 = si.engine(spark)
+    for q in ("url:github merge", 'url:"github com"', "url: IN [example]"):
+        assert _rows(eng2.search(q, 10)) == _want(o2, q), q
+
+
+def test_mixed_url_flag_segments_rejected(spark, corpus, tmp_path):
+    root = str(tmp_path / "mixed")
+    si = SegmentedIndex(root)
+    si.add_segment(corpus.filter("doc_id <= 5"), fingerprint="m1",
+                   n_buckets=4, url_field=True)
+    si.add_segment(corpus.filter("doc_id > 5"), fingerprint="m2",
+                   n_buckets=4, url_field=False)
+    with pytest.raises(ValueError, match="url_field"):
+        si.engine(spark)
