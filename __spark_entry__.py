@@ -66,6 +66,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boost": C.q_bm25_boost,
         "bm25_range": C.q_bm25_range,
         "match_all": C.q_match_all,
+        # second indexed text field (reference file_path → url, here
+        # the documents `source` column): mixed-field OR/AND scoring
+        # with per-field BM25 normalization, and a url term range
+        "bm25_url_or": C.q_bm25_url_or,
+        "bm25_url_and": C.q_bm25_url_and,
+        "url_term_range": C.q_url_term_range,
         # batched serving: five query shapes in ONE Spark action
         "bm25_batch": C.q_bm25_batch,
         # training-pipeline operators
@@ -152,6 +158,11 @@ def oracle_sql() -> dict[str, str]:
             range_pred="p.doc_id BETWEEN 100 AND 300",
         ),
         "match_all": C.SQL_MATCH_ALL,
+        "bm25_url_or": C.bm25_url_mixed_sql(["data"], ["src3"]),
+        "bm25_url_and": C.bm25_url_mixed_sql(
+            ["data"], ["src3"], conjunction=True
+        ),
+        "url_term_range": C.SQL_URL_TERM_RANGE,
         "bm25_batch": C.bm25_batch_sql(),
         # token_count_bpe: no oracle — the BPE merge loop is not
         # SQL-expressible; golden-pinned in tests/test_bpe.py

@@ -132,6 +132,7 @@ def cmd_index(
     parquet: str | None,
     pattern: str = "*",
     debug: bool = False,
+    url_field: bool = True,
 ) -> int:
     if directory and debug:
         # reference get_files trace head (index.py:87); the per-file
@@ -139,9 +140,7 @@ def cmd_index(
         # is mirrored
         print(f"Find files in {directory}")
     if parquet:
-        docs = spark.read.parquet(parquet).select(
-            "doc_id", F.col("text"), F.lit(None).cast("string").alias("file_path")
-        )
+        docs = _read_parquet_docs(spark, parquet)
     else:
         docs = ingest_directory(spark, directory, pattern)
         if docs is None:
@@ -183,10 +182,16 @@ def cmd_index(
         F.sum(F.length("text")).alias("b"),
     ).first()
     n = int(st["n"])
+    # the reference indexes file_path as a second text field alongside
+    # content (bids/index.py:49-52) — mirrored by default; url_field
+    # also covers parquet ingests whose url/source column was folded
+    # into file_path by _read_parquet_docs.  `--no-url-field` opts out.
     BlockedIndex(_index_path()).build(
-        all_docs.select("doc_id", "text"),
+        all_docs.select("doc_id", "text", "file_path"),
         fingerprint=f"dataset-{n}-{st['s']}-{st['lo']}-{st['hi']}-{st['b']}",
         with_positions=True,
+        url_field=url_field,
+        url_col="file_path",
     )
     print(f"Indexed: dataset now holds {n} documents")
     return 0
@@ -211,12 +216,29 @@ def _swap_in_store(tmp: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def _read_parquet_docs(spark: SparkSession, parquet: str):
+    """(doc_id, text, file_path) from a documents parquet.  The
+    file_path column (the reference's second indexed text field) is
+    taken from the parquet's url or source column when present —
+    `url:`/`file_path:` queries then work over parquet ingests too —
+    else NULL (no url-field postings for those docs)."""
+    df = spark.read.parquet(parquet)
+    for cand in ("file_path", "url", "source"):
+        if cand in df.columns:
+            fp = F.col(cand).cast("string").alias("file_path")
+            break
+    else:
+        fp = F.lit(None).cast("string").alias("file_path")
+    return df.select("doc_id", F.col("text"), fp)
+
+
 def cmd_append(
     spark: SparkSession,
     directory: str | None,
     parquet: str | None,
     pattern: str = "*",
     auto_compact: int | None = None,
+    url_field: bool = True,
 ) -> int:
     """Incremental add: ONE new immutable segment per invocation (the
     reference's add-then-commit flow, playground/example/indexer.py:
@@ -226,9 +248,7 @@ def cmd_append(
     from bids_spark.operators.segments import SegmentedIndex
 
     if parquet:
-        docs = spark.read.parquet(parquet).select(
-            "doc_id", F.col("text"), F.lit(None).cast("string").alias("file_path")
-        )
+        docs = _read_parquet_docs(spark, parquet)
     else:
         docs = ingest_directory(spark, directory, pattern)
         if docs is None:
@@ -238,7 +258,9 @@ def cmd_append(
     if not si.segment_paths() and os.path.exists(_docs_path()):
         old = spark.read.parquet(_docs_path())
         si.add_segment(
-            old.select("doc_id", "text"), fingerprint="cli-bootstrap"
+            old.select("doc_id", "text", "file_path"),
+            fingerprint="cli-bootstrap",
+            url_field=url_field, url_col="file_path",
         )
     docs.write.mode("append" if os.path.exists(_docs_path()) else "overwrite").parquet(
         _docs_path()
@@ -250,9 +272,12 @@ def cmd_append(
         F.count("*").alias("n"), F.sum("doc_id").alias("s"),
         F.sum(F.length("text")).alias("b"),
     ).first()
+    # url_field must match existing segments (the engine enforces
+    # all-or-nothing across segments)
     si.add_segment(
-        docs.select("doc_id", "text"),
+        docs.select("doc_id", "text", "file_path"),
         fingerprint=f"cli-append-{st['n']}-{st['s']}-{st['b']}",
+        url_field=url_field, url_col="file_path",
     )
     n = spark.read.parquet(_docs_path()).count()
     print(
@@ -510,6 +535,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--index", metavar="DIR")
     p.add_argument("--index-parquet", metavar="FILE")
     p.add_argument(
+        "--no-url-field", action="store_true",
+        help="do not index the file_path/url column as a second text "
+             "field (the reference indexes file_path alongside content; "
+             "field-scoped url:/file_path: queries need it)",
+    )
+    p.add_argument(
         "--pattern", metavar="GLOB", default="*",
         help="filename glob applied during --index directory scans "
              "(bids-scan --pattern analogue)",
@@ -589,13 +620,15 @@ def main(argv: list[str] | None = None) -> int:
         if a.index or a.index_parquet:
             spark = _get_spark(a.verbose)
             return cmd_index(
-                spark, a.index, a.index_parquet, a.pattern, debug=a.debug
+                spark, a.index, a.index_parquet, a.pattern, debug=a.debug,
+                url_field=not a.no_url_field,
             )
         if a.append or a.append_parquet:
             spark = _get_spark(a.verbose)
             return cmd_append(
                 spark, a.append, a.append_parquet, a.pattern,
                 auto_compact=a.auto_compact,
+                url_field=not a.no_url_field,
             )
         if a.delete_doc:
             spark = _get_spark(a.verbose)

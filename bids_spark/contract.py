@@ -269,10 +269,18 @@ def _blocked_index(spark: SparkSession, sf_dir: str):
             "bids_contract_idx_" + hashlib.md5(key.encode()).hexdigest()[:10],
         )
         bi = BlockedIndex(d)
+        # url_field: the documents table's `source` column plays the
+        # reference's second indexed text field (file_path → url,
+        # bids/index.py:49-52) — content rows are unaffected (content
+        # postings/doclens/stats are untouched by the extra namespace,
+        # regression-tested in tests/test_url_field.py) and the url
+        # rows below query the same shared index
         bi.build(
             load_documents(spark, sf_dir),
             fingerprint=f"contract-{key}",
             with_positions=True,
+            url_field=True,
+            url_col="source",
         )
         _BLOCKED_CACHE[key] = bi
     return bi
@@ -352,6 +360,126 @@ def q_match_all(spark, sf_dir):
     tie-broken by doc_id — served from the doclens table (one row per
     indexed doc)."""
     return _search_blocked(spark, sf_dir, "*")
+
+
+def q_bm25_url_or(spark, sf_dir):
+    """Mixed-field flat OR (`data url:src3`): the reference schema's
+    second indexed text field (file_path, bids/index.py:49-52) mapped
+    to the documents table's `source` column — the url term scores
+    with the URL field's own df/dl/avgdl (per-field BM25), the content
+    term with the corpus stats, summed per doc on the shared pruned
+    decode."""
+    return _search_blocked(spark, sf_dir, "data url:src3")
+
+
+def q_bm25_url_and(spark, sf_dir):
+    """Cross-field conjunction (`data AND url:src3`): the must
+    machinery (matched-count filter, intersection bitmap, rarest-term
+    restriction) over terms from BOTH fields in one scan."""
+    return _search_blocked(spark, sf_dir, "data AND url:src3")
+
+
+def q_url_term_range(spark, sf_dir):
+    """`url:[src0 TO src11]` — term-dictionary range on the url field
+    (tantivy RangeQuery over the second str field).  Byte-order
+    comparison: matches src0, src1, src10, src11 but NOT src2+.
+    Constant scorer over live docs."""
+    return _search_blocked(spark, sf_dir, "url:[src0 TO src11]")
+
+
+# url-field tokenization CTEs (the DuckDB twin of the URL_NS postings:
+# same tokenizer over the `source` column, per-field dl/avgdl, df per
+# url term; idf's N is the corpus — stats.n_docs — like the engine)
+_URL_CTES = r"""
+usrc AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(source), '[^\p{L}\p{N}]+')) AS term
+  FROM documents
+),
+utok AS (
+  SELECT doc_id, term FROM usrc WHERE term <> '' AND length(term) <= 40
+),
+udl AS (
+  SELECT r.doc_id, count(t.term) AS dl
+  FROM (SELECT DISTINCT doc_id FROM documents) r
+  LEFT JOIN utok t USING (doc_id)
+  GROUP BY r.doc_id
+),
+ustats AS (SELECT avg(dl) AS avgdl FROM udl),
+upost AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM utok GROUP BY term, doc_id
+),
+utstat AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM upost GROUP BY term)
+"""
+
+_URL_SCORE_SQL = (
+    "ln(1 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5))"
+    " * p.tf * 2.2 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / us.avgdl))"
+)
+
+
+def bm25_url_mixed_sql(
+    content_terms: list[str],
+    url_terms: list[str],
+    conjunction: bool = False,
+    k: int = 10,
+) -> str:
+    """DuckDB oracle for a flat mixed-field query: content terms score
+    against (post, dl, stats), url terms against (upost, udl, ustats)
+    with the SAME n_docs; per-doc sum (OR) or all-terms-present
+    conjunction (AND)."""
+    n_terms = len(set(content_terms)) + len(set(url_terms))
+    having = f"HAVING count(*) = {n_terms}" if conjunction else ""
+    cvals = _values(content_terms) if content_terms else None
+    uvals = _values(url_terms) if url_terms else None
+    parts = []
+    if cvals:
+        parts.append(f"""
+  SELECT p.doc_id, {_BM25_SCORE_SQL} AS s
+  FROM post p
+  JOIN {cvals} q(term) ON p.term = q.term
+  JOIN tstat ts ON p.term = ts.term
+  JOIN dl d ON p.doc_id = d.doc_id
+  CROSS JOIN stats s""")
+    if uvals:
+        parts.append(f"""
+  SELECT p.doc_id, {_URL_SCORE_SQL} AS s
+  FROM upost p
+  JOIN {uvals} q(term) ON p.term = q.term
+  JOIN utstat ts ON p.term = ts.term
+  JOIN udl d ON p.doc_id = d.doc_id
+  CROSS JOIN ustats us
+  CROSS JOIN stats s""")
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH {_TOK_CTES},
+{_URL_CTES},
+scored AS (
+  SELECT doc_id, SUM(s) AS score FROM ({union}) u
+  GROUP BY doc_id
+  {having}
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+SQL_URL_TERM_RANGE = f"""
+WITH {_URL_CTES},
+m AS (
+  SELECT DISTINCT doc_id FROM utok
+  WHERE term >= 'src0' AND term <= 'src11'
+)
+SELECT CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM m
+ORDER BY doc_id ASC
+LIMIT 10
+"""
 
 
 SQL_MATCH_ALL = """

@@ -99,8 +99,11 @@ from bids_spark.functions.text import tokenize_query
 # Declared text fields (the reference schema's two indexed text
 # fields, bids/index.py:49-52: file_path → url, content); scoping to
 # `content` is the identity, `url` namespaces tokens (URL_NS), any
-# other field is a parse error.
-FIELDS = frozenset({"content", "url"})
+# other field is a parse error.  `file_path` is accepted as an alias
+# of `url` — the reference spelling, so a query a BIDS user runs
+# today (`file_path:indexer`) parses here unchanged.
+URL_FIELDS = frozenset({"url", "file_path"})
+FIELDS = frozenset({"content"}) | URL_FIELDS
 
 
 @dataclass(frozen=True)
@@ -312,7 +315,7 @@ class _Parser:
     @staticmethod
     def _tokens_atom(text: str, fld: str = "content"):
         terms = tokenize_query(text)
-        if fld == "url":
+        if fld in URL_FIELDS:
             # url-field atoms become namespaced terms; a multi-token
             # url atom is a phrase over the url token stream (tantivy
             # tokenizes file_path with the same default analyzer)
@@ -388,7 +391,9 @@ class _Parser:
                     f"({toks}) — use single-token values"
                 )
             if toks:
-                terms.append(url_term(toks[0]) if fld == "url" else toks[0])
+                terms.append(
+                    url_term(toks[0]) if fld in URL_FIELDS else toks[0]
+                )
         return TermSet(tuple(sorted(set(terms))))
 
     @staticmethod
@@ -403,7 +408,7 @@ class _Parser:
                 "(expected field:[lo TO hi], * for an open end)"
             )
         fld, lb, lo_s, hi_s, rb = m.groups()
-        if fld.lower() in ("content", "url"):
+        if fld.lower() == "content" or fld.lower() in URL_FIELDS:
             return _Parser._parse_term_range(lb, lo_s, hi_s, rb, fld.lower())
         if fld.lower() != "doc_id":
             raise ValueError(
@@ -446,7 +451,7 @@ class _Parser:
 
         lo, hi = bound(lo_s), bound(hi_s)
         lo_incl, hi_incl = (lb == "["), (rb == "]")
-        if fld == "url":
+        if fld in URL_FIELDS:
             # map into the URL_NS slice of term space: open ends become
             # the namespace's own floor/ceiling so the range can never
             # leak into content terms (engines stay field-agnostic)

@@ -269,3 +269,61 @@ def test_mixed_url_flag_segments_rejected(spark, corpus, tmp_path):
                    n_buckets=4, url_field=False)
     with pytest.raises(ValueError, match="url_field"):
         si.engine(spark)
+
+
+# ---------------------------------------------------------------------------
+# CLI surface: url/file_path field indexed by default (--no-url-field opts out)
+# ---------------------------------------------------------------------------
+
+
+def _cli(env, *args):
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return subprocess.run(
+        [sys.executable, "-m", "bids_spark.cli", *args],
+        capture_output=True, text=True, env=env, cwd=repo,
+    )
+
+
+@pytest.mark.slow
+def test_cli_url_field_e2e(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               BIDS_DATASET=str(tmp_path / "ds"),
+               BIDS_SPARK_CLI_CORES="4",
+               PYTHONPATH=repo)
+    assert _cli(env, "--initialise").returncode == 0
+    r = _cli(env, "--index-parquet",
+             "/root/testdata/sf0.001/documents.parquet")
+    assert r.returncode == 0, r.stderr
+    # the parquet's `source` column folds into file_path and is indexed
+    # as the second text field — both field spellings resolve
+    r = _cli(env, "--search", "url:src3", "--results", "2")
+    assert r.returncode == 0 and "src3" in r.stdout, r.stdout + r.stderr
+    r2 = _cli(env, "--search", "file_path:src3", "--results", "2")
+    assert r2.returncode == 0 and r2.stdout.splitlines()[:2] == \
+        r.stdout.splitlines()[:2]
+    # unknown field still errors loudly (exit 1, parse error surface)
+    r3 = _cli(env, "--search", "title:x")
+    assert r3.returncode not in (0, 2)
+
+
+@pytest.mark.slow
+def test_cli_no_url_field_opt_out(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               BIDS_DATASET=str(tmp_path / "ds2"),
+               BIDS_SPARK_CLI_CORES="4",
+               PYTHONPATH=repo)
+    assert _cli(env, "--initialise").returncode == 0
+    r = _cli(env, "--no-url-field", "--index-parquet",
+             "/root/testdata/sf0.001/documents.parquet")
+    assert r.returncode == 0, r.stderr
+    # no ns postings → url query matches nothing (reference exit 2)
+    r = _cli(env, "--search", "url:src3")
+    assert r.returncode == 2, r.stdout + r.stderr
+    # content search unaffected
+    r = _cli(env, "--search", "merge join", "--results", "2")
+    assert r.returncode == 0
