@@ -37,6 +37,13 @@ DOC_SCHEMA = T.StructType(
     ]
 )
 
+#: landing schema when micro-batches also carry the second indexed
+#: text field (reference file_path → url; SegmentedStreamIndexer
+#: url_field=True)
+DOC_SCHEMA_URL = T.StructType(
+    DOC_SCHEMA.fields + [T.StructField("url", T.StringType())]
+)
+
 
 class IncrementalIndexer:
     """Maintains {out}/docs and {out}/postings parquet dirs from a
@@ -111,9 +118,18 @@ class SegmentedStreamIndexer:
         out_dir: str,
         n_partitions: int | None = None,
         auto_compact_segments: int | None = None,
+        url_field: bool = False,
+        url_col: str = "url",
     ):
         from bids_spark.operators.segments import SegmentedIndex
 
+        # url_field: micro-batch segments also index `url_col` as the
+        # second text field (URL_NS namespace).  All-or-nothing per
+        # index root — the segmented engine rejects mixed flags — so
+        # pick it at indexer construction, not per batch; the landing
+        # schema must then include the column (DOC_SCHEMA_URL).
+        self.url_field = url_field
+        self.url_col = url_col
         self.out_dir = out_dir
         # auto_compact_segments bounds the segment count under
         # continuous ingest (query latency grows with segment count —
@@ -144,6 +160,8 @@ class SegmentedStreamIndexer:
                     fingerprint=f"batch-{batch_id}",
                     name=f"seg-batch-{batch_id:06d}",
                     n_partitions=self.n_partitions,
+                    url_field=self.url_field,
+                    url_col=self.url_col,
                 )
             finally:
                 batch_df.unpersist()

@@ -327,3 +327,47 @@ def test_cli_no_url_field_opt_out(tmp_path):
     # content search unaffected
     r = _cli(env, "--search", "merge join", "--results", "2")
     assert r.returncode == 0
+
+
+# ---------------------------------------------------------------------------
+# streaming micro-batches with the url field
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_streaming_segments_with_url_field(spark, tmp_path):
+    import pandas as pd
+
+    from bids_spark.streaming.incremental import (
+        DOC_SCHEMA_URL,
+        SegmentedStreamIndexer,
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    rows1 = [(d, DOCS[d], URLS[d]) for d in (1, 2, 3, 4, 5)]
+    rows2 = [(d, DOCS[d], URLS[d]) for d in (6, 7, 8, 9, 10)]
+    cols = ["doc_id", "text", "url"]
+    spark.createDataFrame(pd.DataFrame(rows1, columns=cols)).coalesce(
+        1
+    ).write.parquet(os.path.join(landing, "b1"))
+
+    sx = SegmentedStreamIndexer(
+        str(tmp_path / "segidx"), n_partitions=2, url_field=True
+    )
+    sx.start(
+        spark, os.path.join(landing, "*"), schema=DOC_SCHEMA_URL
+    ).awaitTermination(120)
+    spark.createDataFrame(pd.DataFrame(rows2, columns=cols)).coalesce(
+        1
+    ).write.parquet(os.path.join(landing, "b2"))
+    sx.start(
+        spark, os.path.join(landing, "*"), schema=DOC_SCHEMA_URL
+    ).awaitTermination(120)
+    assert len(sx.seg_index.segment_paths()) >= 2
+
+    oi = OracleIndex(DOCS, URLS)
+    eng = sx.engine(spark)
+    for q in ("url:github merge", 'url:"github com"', "merge AND url:com",
+              "url: IN [gitlab example]"):
+        assert _rows(eng.search(q, 10)) == _want(oi, q), q
