@@ -82,6 +82,27 @@ from bids_spark.operators.codec import BLOCK_SIZE, bm25_scores_np, encode_block
 
 _SPLIT = re.compile(r"[\W_]+", flags=re.UNICODE)
 
+#: Cut a term's posting run into a new block when consecutive doc ids
+#: jump by more than this, IN ADDITION to the fixed BLOCK_SIZE cuts.
+#: Why: a block's [first_doc, max_doc] interval is the unit every
+#: metadata consumer reasons over (range-aligned bounds, AND bitmaps,
+#: rarest-term spans, must-range skipping).  On banded doc-id spaces —
+#: sharded crawls with per-shard id prefixes, periodic host recrawls,
+#: any replica/partition scheme — ONE 128-posting block straddling the
+#: empty gap between two bands inherits an interval covering the whole
+#: gap and marks every chunk in it as term-present, poisoning the
+#: bounds for every OTHER band that lives inside the gap (measured at
+#: 3M docs: a 10-band url host term's 10 boundary blocks marked 15,756
+#: of 16,384 chunks present and the AND bitmap pruned 4% where the
+#: band structure allows 98% — BENCH/PLANS.md "url-field evidence").
+#: Cutting at gaps adds at most one block per >threshold gap per term
+#: (metadata rows only; payload bytes unchanged per posting) and keeps
+#: intervals tight.  Dense id spaces never hit the threshold.
+#: Env override SPARK_GRAFT_BLOCK_GAP_CUT; 0 disables (the A/B twin).
+BLOCK_GAP_CUT = int(
+    os.environ.get("SPARK_GRAFT_BLOCK_GAP_CUT", str(1 << 20))
+)
+
 PARTIAL_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
@@ -259,8 +280,24 @@ def _block_encoder(
             rows = []
             s10 = kth_largest(scores, 10)
             s100 = kth_largest(scores, 100)
-            for s in range(0, len(docs), BLOCK_SIZE):
-                e = min(s + BLOCK_SIZE, len(docs))
+            # block boundaries: every BLOCK_SIZE postings AND at every
+            # doc-id gap above BLOCK_GAP_CUT (tight intervals on banded
+            # id spaces — see the constant's rationale).  The BLOCK_SIZE
+            # grid restarts after each gap cut; O(#gaps + #blocks) work,
+            # never per-posting Python.
+            if BLOCK_GAP_CUT > 0 and len(docs) > 1:
+                seg_edges = (
+                    np.nonzero(np.diff(docs) > BLOCK_GAP_CUT)[0] + 1
+                ).tolist()
+            else:
+                seg_edges = []
+            starts: list[int] = []
+            for seg_s, seg_e in zip(
+                [0] + seg_edges, seg_edges + [len(docs)]
+            ):
+                starts.extend(range(seg_s, seg_e, BLOCK_SIZE))
+            for j, s in enumerate(starts):
+                e = starts[j + 1] if j + 1 < len(starts) else len(docs)
                 flat = None
                 if pos_cells is not None:
                     cells = [
@@ -549,7 +586,11 @@ class BlockedIndex:
             and os.environ.get("SPARK_GRAFT_BUILD_DL_CARRY", "1") != "0"
             and isinstance(self.io, ParquetTableIO)
         )
-        blk_fp = fingerprint + f"{FMT_TAG}-{score_mode}"
+        # gap-cut setting folds into the stage fingerprint: block
+        # boundaries depend on it, so an A/B flip must rebuild the
+        # blocks/terms/cm stages rather than silently serve the old
+        # layout (postings/doclens/stats stay resumable)
+        blk_fp = fingerprint + f"{FMT_TAG}-{score_mode}-g{BLOCK_GAP_CUT}"
         if (
             defer_idf
             and not self._stage_done(man, "blocks", blk_fp)
@@ -695,6 +736,7 @@ class BlockedIndex:
                 avgdl=avgdl,
                 url_field=url_field,
                 avgdl_url=avgdl_url,
+                gap_cut=BLOCK_GAP_CUT,
             )
 
         if not self._stage_done(man, "terms", blk_fp):

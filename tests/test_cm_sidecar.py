@@ -51,11 +51,24 @@ def drifted_wide(spark, docs):
 def index(drifted_wide, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("cmside") / "idx")
     bi = BlockedIndex(root)
-    # force the stage: the fixture corpus is below CM_BUILD_MIN_BLOCKS
-    bi.build(
-        drifted_wide, fingerprint="cm-sidecar", n_partitions=8,
-        cm_sidecar=True,
-    )
+    # force the stage: the fixture corpus is below CM_BUILD_MIN_BLOCKS.
+    # Build with gap cuts DISABLED: this fixture manufactures its wide
+    # block from a cross-replica span that BLOCK_GAP_CUT now splits
+    # (round 4 late), but the uncut layout remains a supported serving
+    # format (pre-cut indexes, the A/B twin) and the cm_wide read path
+    # it exercises is still reachable on cut indexes via sub-threshold
+    # gaps over a > OM_SLICE_CAP-chunk span.
+    import bids_spark.operators.blocked_index as BI
+
+    old = BI.BLOCK_GAP_CUT
+    BI.BLOCK_GAP_CUT = 0
+    try:
+        bi.build(
+            drifted_wide, fingerprint="cm-sidecar", n_partitions=8,
+            cm_sidecar=True,
+        )
+    finally:
+        BI.BLOCK_GAP_CUT = old
     return bi
 
 
