@@ -85,3 +85,80 @@ def test_engine_matches_oracle_random(spark, seed, tmp_path):
             seed, q, "segmented")
         for (_, _, gs), (_, _, ws) in zip(sgot, want):
             assert math.isclose(gs, ws, rel_tol=1e-6), (seed, q, "segmented")
+
+
+# ---------------------------------------------------------------------------
+# url field fuzz: random url strings + mixed-field random queries
+# ---------------------------------------------------------------------------
+
+URL_HOSTS = ["github.com", "example.org", "gitlab.io", "news.site.com", ""]
+URL_PATHS = ["alpha/beta", "data", "x" * 50, "a.b.c", "punct..sep//x", ""]
+
+
+def make_urls(seed: int, n_docs: int):
+    rng = random.Random(seed + 7)
+    urls = {}
+    for i in range(n_docs + 1):
+        r = rng.random()
+        if r < 0.1:
+            urls[i] = ""  # empty url
+        elif r < 0.2:
+            urls[i] = URL_PATHS[2]  # bare long token (dropped by len cap)
+        else:
+            urls[i] = (
+                f"https://{rng.choice(URL_HOSTS)}/{rng.choice(URL_PATHS)}"
+            )
+    return urls
+
+
+def make_url_queries(seed: int):
+    rng = random.Random(seed + 9)
+    qs = [
+        "url:github head",
+        "url:com AND head",
+        'url:"example org"',
+        "head -url:gitlab",
+        "url: IN [data github]",
+        "url:[e TO h] alpha",
+        "url:alpha",          # token present in BOTH fields
+        "alpha url:alpha",    # cross-field same token
+    ]
+    for _ in range(2):
+        u = rng.choice(["github", "com", "data", "alpha", "example"])
+        t = rng.choice(VOCAB[:5])
+        qs.append(rng.choice([f"url:{u} {t}", f"{t} AND url:{u}",
+                              f"url:{u}^2 {t}"]))
+    return qs
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12])
+def test_url_field_matches_oracle_random(spark, seed, tmp_path):
+    rows = make_corpus(seed)
+    urls = make_urls(seed, len(rows) - 1)
+    docs = spark.createDataFrame(
+        [(d, t, urls[d]) for d, t in rows], ["doc_id", "text", "url"]
+    )
+    oracle = OracleIndex(dict(rows), urls)
+    eng = SearchEngine.from_documents(docs, url_field=True, cache=False)
+
+    bi = BlockedIndex(str(tmp_path / f"uidx{seed}"))
+    bi.build(docs, fingerprint=f"uprop{seed}", n_partitions=4,
+             with_positions=True, url_field=True)
+    beng = BlockedSearchEngine(spark, bi)
+
+    si = SegmentedIndex(str(tmp_path / f"useg{seed}"))
+    si.add_segment(docs.filter(docs.doc_id % 2 == 0),
+                   fingerprint=f"u0-{seed}", n_partitions=2, url_field=True)
+    si.add_segment(docs.filter(docs.doc_id % 2 != 0),
+                   fingerprint=f"u1-{seed}", n_partitions=2, url_field=True)
+    seng = si.engine(spark)
+
+    for q in make_url_queries(seed):
+        want = oracle.search(q, 10)
+        for name, e in (("naive", eng), ("blocked", beng), ("seg", seng)):
+            got = [(r["rank"], r["doc_id"], r["score"])
+                   for r in e.search(q, 10).collect()]
+            assert [(r, d) for r, d, _ in got] == \
+                [(r, d) for r, d, _ in want], (seed, q, name)
+            for (_, _, gs), (_, _, ws) in zip(got, want):
+                assert math.isclose(gs, ws, rel_tol=1e-6), (seed, q, name)
