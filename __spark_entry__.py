@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with per-field BM25 normalization, and a url term range
         "bm25_url_or": C.q_bm25_url_or,
         "bm25_url_and": C.q_bm25_url_and,
+        "bm25_url_phrase": C.q_bm25_url_phrase,
         "url_term_range": C.q_url_term_range,
         # batched serving: five query shapes in ONE Spark action
         "bm25_batch": C.q_bm25_batch,
@@ -162,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_url_and": C.bm25_url_mixed_sql(
             ["data"], ["src3"], conjunction=True
         ),
+        "bm25_url_phrase": C.SQL_URL_PHRASE,
         "url_term_range": C.SQL_URL_TERM_RANGE,
         "bm25_batch": C.bm25_batch_sql(),
         # token_count_bpe: no oracle — the BPE merge loop is not

@@ -269,18 +269,22 @@ def _blocked_index(spark: SparkSession, sf_dir: str):
             "bids_contract_idx_" + hashlib.md5(key.encode()).hexdigest()[:10],
         )
         bi = BlockedIndex(d)
-        # url_field: the documents table's `source` column plays the
-        # reference's second indexed text field (file_path → url,
-        # bids/index.py:49-52) — content rows are unaffected (content
-        # postings/doclens/stats are untouched by the extra namespace,
-        # regression-tested in tests/test_url_field.py) and the url
-        # rows below query the same shared index
+        # url_field: the reference's second indexed text field
+        # (file_path → url, bids/index.py:49-52) derived as
+        # source '/' lang — a deterministic multi-token url analogue
+        # BOTH sides can compute (DuckDB tokenizes the same concat),
+        # so url PHRASES sit under the oracle too.  Content rows are
+        # unaffected (content postings/doclens/stats untouched by the
+        # namespace — regression-tested in tests/test_url_field.py);
+        # the url rows below query the same shared index.
         bi.build(
-            load_documents(spark, sf_dir),
+            load_documents(spark, sf_dir).withColumn(
+                "_url", F.concat_ws("/", F.col("source"), F.col("lang"))
+            ),
             fingerprint=f"contract-{key}",
             with_positions=True,
             url_field=True,
-            url_col="source",
+            url_col="_url",
         )
         _BLOCKED_CACHE[key] = bi
     return bi
@@ -379,6 +383,15 @@ def q_bm25_url_and(spark, sf_dir):
     return _search_blocked(spark, sf_dir, "data AND url:src3")
 
 
+def q_bm25_url_phrase(spark, sf_dir):
+    """url-field PHRASE (`url:"src3 en"`): positional adjacency in the
+    url token stream (tantivy records positions for file_path too —
+    meta.json:25-31), scored with the url field's (dl, avgdl) via the
+    fused dl-payload path.  The DuckDB oracle walks the same two
+    per-term position lists derived from the url tokenization."""
+    return _search_blocked(spark, sf_dir, 'url:"src3 en"')
+
+
 def q_url_term_range(spark, sf_dir):
     """`url:[src0 TO src11]` — term-dictionary range on the url field
     (tantivy RangeQuery over the second str field).  Byte-order
@@ -393,7 +406,8 @@ def q_url_term_range(spark, sf_dir):
 _URL_CTES = r"""
 usrc AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(lower(source), '[^\p{L}\p{N}]+')) AS term
+         unnest(regexp_split_to_array(lower(source || '/' || lang),
+                                      '[^\p{L}\p{N}]+')) AS term
   FROM documents
 ),
 utok AS (
@@ -465,6 +479,52 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS ra
 FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
+"""
+
+
+# url-phrase oracle: same consecutive-position chain pattern as
+# bm25_phrase_sql, but over the url token stream (list positions via
+# generate_series — DuckDB has no WITH ORDINALITY) and the URL
+# field's dl/avgdl
+SQL_URL_PHRASE = """
+WITH """ + _TOK_CTES + """,
+""" + _URL_CTES + r""",
+ubase AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(source || '/' || lang),
+                                           '[^\p{L}\p{N}]+'),
+                     x -> x <> '' AND length(x) <= 40) AS lst
+  FROM documents
+),
+upp AS (SELECT doc_id, unnest(generate_series(1, len(lst))) AS p, lst
+        FROM ubase),
+ph AS (
+  SELECT t0.doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM upp t0
+  JOIN upp t1 ON t1.doc_id = t0.doc_id AND t1.p = t0.p + 1
+             AND t1.lst[t1.p] = 'en'
+  WHERE t0.lst[t0.p] = 'src3'
+  GROUP BY t0.doc_id
+),
+pidf AS (
+  SELECT SUM(ln(1 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5))) AS idf
+  FROM utstat ts CROSS JOIN stats s
+  WHERE ts.term IN ('src3', 'en')
+),
+scored AS (
+  SELECT p.doc_id,
+         i.idf * p.tf * 2.2
+           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / us.avgdl)) AS score
+  FROM ph p
+  JOIN udl d ON p.doc_id = d.doc_id
+  CROSS JOIN ustats us
+  CROSS JOIN pidf i
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
 """
 
 
