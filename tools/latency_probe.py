@@ -34,6 +34,9 @@ import sys
 import tempfile
 import time
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
 from bids_spark.operators.blocked_index import BlockedIndex
 from bids_spark.operators.wand import BlockedSearchEngine
 from bids_spark.session import get_spark
