@@ -1567,6 +1567,7 @@ class BlockedSearchEngine(BooleanEvaluator):
         limit: int = 10,
         prune: bool = True,
         theta_mode: str = "dict",
+        default_fields: tuple[str, ...] = ("content",),
     ) -> DataFrame:
         """(rank, doc_id, score) top-k; rank-identical to SearchEngine.
 
@@ -1574,8 +1575,13 @@ class BlockedSearchEngine(BooleanEvaluator):
         no probe job, 2 Spark jobs per query; "probe" additionally
         decodes the top blocks per term for a tighter θ (fewer survivor
         blocks) — right at cluster scale where decode I/O outweighs a
-        scheduling round-trip."""
-        ast = parse_query(query)
+        scheduling round-trip.
+
+        default_fields: tantivy parse_query's unqualified-atom field
+        list (plans.parser.parse_query).  Multi-field defaults expand
+        to nested should-unions and evaluate on the generic path; the
+        reference-default ("content",) keeps every pruned fast path."""
+        ast = parse_query(query, default_fields)
         flat, must, should, must_not, boosts = self._classify(ast)
         bmap = (
             boosts if any(b != 1.0 for b in boosts.values()) else None
@@ -1792,6 +1798,7 @@ class BlockedSearchEngine(BooleanEvaluator):
         queries: dict[str, str],
         limit: int = 10,
         prune: bool = True,
+        default_fields: tuple[str, ...] = ("content",),
     ) -> DataFrame:
         """(qid, rank, doc_id, score) for a BATCH of queries in ONE
         Spark action — per qid rank- and score-identical to
@@ -1852,7 +1859,7 @@ class BlockedSearchEngine(BooleanEvaluator):
         phrase_class: dict[str, tuple[Phrase, float]] = {}
         ast_class: dict[str, Bool] = {}
         for qid, q in queries.items():
-            ast = parse_query(q)
+            ast = parse_query(q, default_fields)
             flat, must, should, must_not, boosts = self._classify(ast)
             bmap = (
                 boosts if any(b != 1.0 for b in boosts.values()) else None

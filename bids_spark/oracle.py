@@ -205,8 +205,13 @@ class OracleIndex:
                 scores.pop(d, None)
         return scores
 
-    def search(self, query: str, limit: int = 10) -> list[tuple[int, int, float]]:
+    def search(
+        self,
+        query: str,
+        limit: int = 10,
+        default_fields: tuple[str, ...] = ("content",),
+    ) -> list[tuple[int, int, float]]:
         """[(rank, doc_id, score)] — score desc, doc_id asc."""
-        scores = self._eval(parse_query(query))
+        scores = self._eval(parse_query(query, default_fields))
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
         return [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]

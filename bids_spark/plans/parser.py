@@ -229,9 +229,14 @@ def _lex(q: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
-    def __init__(self, toks: list[tuple[str, str]]):
+    def __init__(
+        self,
+        toks: list[tuple[str, str]],
+        default_fields: tuple[str, ...] = ("content",),
+    ):
         self.toks = toks
         self.i = 0
+        self.default_fields = default_fields
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -326,11 +331,52 @@ class _Parser:
             return Term(terms[0])
         return Phrase(tuple(terms))
 
+    def _default_atom(self, text: str):
+        """Unqualified atom against the DEFAULT field list — tantivy's
+        QueryParser semantics for `parse_query(q, fields)`: one
+        sub-query per default field, unioned as should clauses (a doc
+        matching in several fields sums their scores).  The reference
+        CLI passes ["content"] (bids/index.py:147) — the single-field
+        case stays a bare Term/Phrase, byte-identical ASTs — while the
+        reference repo's own playground drives ["title","content"]
+        (playground/junk/find.py:19), the multi-field shape."""
+        nodes = [
+            a
+            for f in self.default_fields
+            if (a := self._tokens_atom(text, f)) is not None
+        ]
+        if not nodes:
+            return None
+        if len(nodes) == 1:
+            return nodes[0]
+        return Bool(should=nodes)
+
     def _maybe_slop(self, node):
         """Attach a trailing `~N` token after a quoted phrase (the
         lexer emits it as a separate word; a fused `~N^B` boost suffix
         is split here — slop binds before boost, Lucene/tantivy
-        order)."""
+        order).  A multi-default-field expansion (Bool of per-field
+        phrases) gets the slop applied to EACH member phrase."""
+        if isinstance(node, Bool):
+            kind, val = self.peek()
+            if kind == "word" and val.startswith("~"):
+                self.next()
+                suf = val[1:]
+                boost = None
+                if "^" in suf:
+                    suf, _, b = suf.partition("^")
+                    boost = _parse_boost(b)
+                slop = _parse_slop(suf)
+                if slop:
+                    node.should = [
+                        dataclasses.replace(c, slop=slop)
+                        if isinstance(c, Phrase)
+                        else c
+                        for c in node.should
+                    ]
+                if boost is not None:
+                    node = _boost(node, boost)
+            return node
         kind, val = self.peek()
         if kind == "word" and val.startswith("~"):
             self.next()
@@ -485,14 +531,18 @@ class _Parser:
                     'phrase-prefix queries ("a b"*) are not supported '
                     "— expand the prefix into explicit terms"
                 )
-            node = self._maybe_slop(self._tokens_atom(val.strip('"')))
+            node = self._maybe_slop(self._default_atom(val.strip('"')))
             return self._maybe_boost(node)
         if kind == "range":
             return self._maybe_boost(self._parse_range(val))
         if kind == "inset":
-            # bare `IN [a b c]` — default field (content), tantivy's
-            # QueryParser default-field behaviour
-            return self._maybe_boost(self._parse_inset("content", val))
+            # bare `IN [a b c]` — tantivy's QueryParser default-field
+            # behaviour: one TermSet per default field, should-unioned
+            sets = [
+                self._parse_inset(f, val) for f in self.default_fields
+            ]
+            node = sets[0] if len(sets) == 1 else Bool(should=sets)
+            return self._maybe_boost(node)
         if kind == "word":
             boost = None
             if "^" in val:
@@ -565,7 +615,7 @@ class _Parser:
                 return None
             return self._tokens_atom(rest, fld.lower())
         # multi-token words (e.g. "foo.bar") degrade to a phrase
-        return self._tokens_atom(val)
+        return self._default_atom(val)
 
 
 def _normalize(node):
@@ -578,9 +628,26 @@ def _normalize(node):
     return node
 
 
-def parse_query(q: str) -> Bool:
-    """Parse a query string into a Bool AST (top level is always Bool)."""
-    node = _normalize(_Parser(_lex(q)).parse())
+def parse_query(
+    q: str, default_fields: tuple[str, ...] = ("content",)
+) -> Bool:
+    """Parse a query string into a Bool AST (top level is always Bool).
+
+    default_fields: the field list unqualified atoms search — the
+    second argument of tantivy's ``index.parse_query(q, fields)``.
+    The reference CLI uses ("content",) (bids/index.py:147); pass
+    ("content", "url") for the multi-field behaviour its playground
+    drives (playground/junk/find.py:19): each unqualified term/phrase/
+    bare-IN expands to a should-union of per-field sub-queries (a doc
+    matching in several fields sums their scores).  Unknown names
+    raise, like any undeclared field."""
+    for f in default_fields:
+        if f not in FIELDS:
+            raise ValueError(
+                f"unknown default field '{f}' "
+                f"(declared fields: {', '.join(sorted(FIELDS))})"
+            )
+    node = _normalize(_Parser(_lex(q), tuple(default_fields)).parse())
     if isinstance(node, (Term, Phrase)):
         return Bool(should=[node])
     # normalize any tuple children (keep the top-level boost)

@@ -541,13 +541,22 @@ class SearchEngine(BooleanEvaluator):
 
     # ---- public API --------------------------------------------------------
 
-    def plan(self, query: str) -> DataFrame:
-        """(doc_id, score) for every matching doc — unranked."""
-        return self._eval(parse_query(query))
+    def plan(
+        self, query: str, default_fields: tuple[str, ...] = ("content",)
+    ) -> DataFrame:
+        """(doc_id, score) for every matching doc — unranked.
+        `default_fields`: tantivy parse_query's field list for
+        unqualified atoms (see plans.parser.parse_query)."""
+        return self._eval(parse_query(query, default_fields))
 
-    def search(self, query: str, limit: int = 10) -> DataFrame:
+    def search(
+        self,
+        query: str,
+        limit: int = 10,
+        default_fields: tuple[str, ...] = ("content",),
+    ) -> DataFrame:
         """(rank, doc_id, score) top-k — TakeOrderedAndProject."""
-        matches = self.plan(query).orderBy(
+        matches = self.plan(query, default_fields).orderBy(
             F.desc("score"), F.asc("doc_id")
         ).limit(limit)
         # rank assignment happens on ≤k rows — cheap single partition

@@ -371,3 +371,88 @@ def test_streaming_segments_with_url_field(spark, tmp_path):
     for q in ("url:github merge", 'url:"github com"', "merge AND url:com",
               "url: IN [gitlab example]"):
         assert _rows(eng.search(q, 10)) == _want(oi, q), q
+
+
+# ---------------------------------------------------------------------------
+# multi-default-field parsing (the reference playground's
+# parse_query(q, ["title","content"]) shape — playground/junk/find.py:19)
+# ---------------------------------------------------------------------------
+
+BOTH = ("content", "url")
+MULTI_QUERIES = [
+    "github",               # matches content (docs 3,5) AND urls (1,4,7)
+    "merge data",
+    "github AND merge",
+    "data -github",
+    '"github com"',         # phrase exists only in the url stream
+    "IN [gitlab alpha]",
+    "github^2 tables",
+    "pages",                # url-only token in some docs, content in others
+]
+
+
+def test_parser_multi_default_fields():
+    from bids_spark.plans.parser import Bool as B
+
+    # a single unqualified atom's expansion becomes the TOP-LEVEL OR
+    # (the normalizer unwraps one Bool level) — a flat two-term union,
+    # which even keeps the pruned fast path
+    q = parse_query("github", BOTH)
+    assert [t.term for t in q.should] == ["github", url_term("github")]
+    # multiple atoms: each expansion stays a nested should-union
+    q2 = parse_query("github data", BOTH)
+    assert len(q2.should) == 2 and all(
+        isinstance(n, B) and len(n.should) == 2 for n in q2.should
+    )
+    # single default unchanged — byte-identical AST
+    assert parse_query("github").should[0] == Term("github")
+    with pytest.raises(ValueError, match="unknown default field"):
+        parse_query("x", ("title",))
+
+
+@pytest.mark.parametrize("q", MULTI_QUERIES)
+def test_multi_default_matches_oracle(naive, blocked, oracle, q):
+    want = [
+        (r, d, round(s, 9))
+        for r, d, s in oracle.search(q, 10, default_fields=BOTH)
+    ]
+    got_n = _rows(naive.search(q, 10, default_fields=BOTH))
+    assert got_n == want, ("naive", q)
+    got_b = _rows(blocked.search(q, 10, default_fields=BOTH))
+    assert got_b == want, ("blocked", q)
+
+
+def test_multi_default_segmented_and_batch(
+    spark, corpus, blocked, oracle, tmp_path
+):
+    # own fresh segment root (the shared `segmented` fixture is
+    # mutated by the delete/compact test, which may or may not have
+    # run depending on selection)
+    si = SegmentedIndex(str(tmp_path / "mseg"))
+    si.add_segment(corpus.filter("doc_id <= 5"), fingerprint="md1",
+                   n_buckets=4, url_field=True)
+    si.add_segment(corpus.filter("doc_id > 5"), fingerprint="md2",
+                   n_buckets=4, url_field=True)
+    eng = si.engine(spark)
+    qs = ["github", "merge data", '"github com"']
+    for q in qs:
+        want = [
+            (r, d, round(s, 9))
+            for r, d, s in oracle.search(q, 10, default_fields=BOTH)
+        ]
+        assert _rows(eng.search(q, 10, default_fields=BOTH)) == want, q
+    # batched serving honours the field list too
+    got = blocked.search_many(
+        {f"m{i}": q for i, q in enumerate(qs)}, 10, default_fields=BOTH
+    )
+    per = {}
+    for r in got.collect():
+        per.setdefault(r["qid"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+        )
+    for i, q in enumerate(qs):
+        want = [
+            (r, d, round(s, 9))
+            for r, d, s in oracle.search(q, 10, default_fields=BOTH)
+        ]
+        assert per.get(f"m{i}", []) == want, q
