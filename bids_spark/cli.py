@@ -255,6 +255,21 @@ def cmd_append(
             print(f"No indexable files under {directory}", file=sys.stderr)
             return 1
     si = SegmentedIndex(_segments_path())
+    # Inherit url_field from the committed segments: a flag that
+    # disagrees with the store would commit a segment the engine then
+    # rejects wholesale ("segments disagree on url_field") — every
+    # later --search fails until a --compact.  The store's convention
+    # wins; the user's flag only applies to an empty store.
+    existing_url_field = si.url_field_flag()
+    if existing_url_field is not None and existing_url_field != url_field:
+        print(
+            f"warning: existing segments were built with "
+            f"url_field={existing_url_field}; inheriting it (the "
+            f"requested url_field={url_field} would make the store "
+            "unservable — use --compact to change the convention)",
+            file=sys.stderr,
+        )
+        url_field = existing_url_field
     if not si.segment_paths() and os.path.exists(_docs_path()):
         old = spark.read.parquet(_docs_path())
         si.add_segment(

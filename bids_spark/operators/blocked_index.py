@@ -488,6 +488,17 @@ class BlockedIndex:
         manifest scalar (avgdl_url) for the per-field BM25 length
         normalization.  Forces the builtin tokenizer.
         """
+        if url_field and with_positions and score_mode != "dl":
+            # f64 payloads don't carry dl, so a url-field phrase can't
+            # length-normalize by the url field at decode — the engine
+            # would raise NotImplementedError the first time a user
+            # runs url:"a b".  Surface the incompatibility at build
+            # time, not query time.
+            raise ValueError(
+                "url_field=True with with_positions=True requires "
+                "score_mode='dl' (url-field phrases need the per-"
+                "posting url doc length; f64 impact payloads drop it)"
+            )
         spark = docs.sparkSession
         man = self._manifest()
         n_part = n_partitions or spark.sparkContext.defaultParallelism

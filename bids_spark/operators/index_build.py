@@ -74,10 +74,17 @@ def doclens(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, dl) — exact token count per doc (tantivy fieldnorms,
-    meta.json:30,43, but exact instead of 1-byte-quantized)."""
+    meta.json:30,43, but exact instead of 1-byte-quantized).
+
+    NULL text counts as dl=0 (a doc with no value in the field has
+    zero tokens in it) — NOT NULL/-1, which F.avg would skip/poison:
+    under ansi.enabled=false Spark's legacy sizeOfNull makes
+    F.size(NULL) return -1, silently corrupting avgdl."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tokenize_text(text_col)).alias("dl"),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(tokenize_text(text_col)))
+        .alias("dl"),
     )
 
 

@@ -199,6 +199,25 @@ class SegmentedIndex:
     def segments(self) -> list[BlockedIndex]:
         return [BlockedIndex(p) for p in self.segment_paths()]
 
+    def url_field_flag(self) -> bool | None:
+        """Committed segments' url_field consensus: None when the store
+        is empty, the shared flag when all agree.  Raises on
+        disagreement — the same condition SegmentedSearchEngine rejects
+        at construction, surfaced here so a writer can fail BEFORE
+        committing yet another mismatched segment."""
+        flags = [
+            bool(s._manifest()["stages"]["blocks"].get("url_field"))
+            for s in self.segments()
+        ]
+        if not flags:
+            return None
+        if len(set(flags)) > 1:
+            raise ValueError(
+                "segments disagree on url_field — rebuild or compact "
+                "before appending more"
+            )
+        return flags[0]
+
     def _reject_below_horizon(self, name: str, commit: dict) -> None:
         """Loudly reject a batch-named append at or below the trimmed
         retired horizon: once compact(retain_retired=...) drops a

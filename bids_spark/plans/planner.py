@@ -491,6 +491,9 @@ class SearchEngine(BooleanEvaluator):
         upp = namespace_url_terms(
             postings_with_positions(docs, id_col, url_col)
         )
+        # doclens counts a NULL url as dl=0, so avgdl_url averages over
+        # ALL docs — the blocked engine's (and the DuckDB oracle's)
+        # sum(dl)/n_docs convention on corpora with missing urls.
         return cls(
             pp.unionByName(upp),
             doclens(docs, id_col, text_col),
