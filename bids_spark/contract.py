@@ -1730,3 +1730,129 @@ def q_extract_invariant(spark, sf_dir):
 SQL_EXTRACT_INVARIANT = """
 SELECT doc_id, sha256(text) AS text_sha256 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# consolidated variant suites (round 5)
+#
+# The driver records at most 50 CORRECTNESS rows per round; round 4's
+# registry had grown to 62 and the 12-entry pipeline/ANN tail fell off
+# the record.  Redundant engine-path variants of the SAME logical query
+# therefore fold into ONE registry row each: a union of the per-path
+# results tagged with a `variant` column, oracled by the same SQL
+# repeated per tag.  Each previously-separate path keeps its own green
+# signal — the value hash is per-row and `variant` disambiguates.
+# ---------------------------------------------------------------------------
+
+
+def _tagged_union(pairs: list) -> DataFrame:
+    out = None
+    for tag, df in pairs:
+        d = df.withColumn("variant", F.lit(tag))
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def variants_sql(pairs: list) -> str:
+    """UNION ALL of per-variant oracle SQL, each tagged to match the
+    Spark-side `variant` column (DuckDB allows WITH inside a derived
+    table, so existing oracle strings embed unchanged)."""
+    return "\nUNION ALL\n".join(
+        f"SELECT '{tag}' AS variant, q.* FROM ({sql.strip().rstrip(';')}) q"
+        for tag, sql in pairs
+    )
+
+
+def q_bm25_or_pruned(spark, sf_dir):
+    """bm25_or on every pruned serving path: plain blocked, aligned
+    chunk-max bound forced, probe-θ (the cluster default) — one row,
+    three certified paths."""
+    return _tagged_union([
+        ("blocked", q_bm25_or_blocked(spark, sf_dir)),
+        ("aligned", q_bm25_or_aligned(spark, sf_dir)),
+        ("probe", q_bm25_or_probe(spark, sf_dir)),
+    ])
+
+
+def q_bm25_and_pruned(spark, sf_dir):
+    return _tagged_union([
+        ("blocked", q_bm25_and_blocked(spark, sf_dir)),
+        ("prefilter", q_bm25_and_prefilter(spark, sf_dir)),
+    ])
+
+
+def q_bm25_segmented_suite(spark, sf_dir):
+    """The four boolean shapes on the multi-segment reader (global
+    df/N/avgdl rescore across segments) — one row, four paths."""
+    return _tagged_union([
+        ("or", q_bm25_or_segmented(spark, sf_dir)),
+        ("and", q_bm25_and_segmented(spark, sf_dir)),
+        ("not", q_bm25_not_segmented(spark, sf_dir)),
+        ("phrase", q_bm25_phrase_segmented(spark, sf_dir)),
+    ])
+
+
+def q_grammar_const_suite(spark, sf_dir):
+    """The constant-scorer grammar atoms: term set, doc_id set, term
+    range, match-all."""
+    return _tagged_union([
+        ("term_set", q_term_set(spark, sf_dir)),
+        ("docid_set", q_docid_set(spark, sf_dir)),
+        ("term_range", q_term_range(spark, sf_dir)),
+        ("match_all", q_match_all(spark, sf_dir)),
+    ])
+
+
+def q_url_field_suite(spark, sf_dir):
+    """The second indexed text field's query shapes: mixed-field OR /
+    AND, url phrase, url term range."""
+    return _tagged_union([
+        ("or", q_bm25_url_or(spark, sf_dir)),
+        ("and", q_bm25_url_and(spark, sf_dir)),
+        ("phrase", q_bm25_url_phrase(spark, sf_dir)),
+        ("range", q_url_term_range(spark, sf_dir)),
+    ])
+
+
+def q_ann_suite(spark, sf_dir):
+    """The three ANN serving paths (ad-hoc LSH, pre-bucketed LSH index,
+    IVF index) — approximate by design, rows-only; recall and
+    indexed≡ad-hoc parity are property-tested in pytest."""
+    return _tagged_union([
+        ("lsh", q_lsh_ann_topk(spark, sf_dir)),
+        ("lsh_indexed", q_lsh_ann_indexed(spark, sf_dir)),
+        ("ivf", q_ivf_ann_topk(spark, sf_dir)),
+    ])
+
+
+def q_textstats_suite(spark, sf_dir):
+    """quality_score ⋈ lang_id ⋈ fingerprint on doc_id — three per-doc
+    column-algebra operators certified in one wide row."""
+    return (
+        q_quality_score(spark, sf_dir)
+        .join(q_lang_id(spark, sf_dir), "doc_id")
+        .join(q_fingerprint(spark, sf_dir), "doc_id")
+    )
+
+
+SQL_TEXTSTATS_SUITE = f"""
+SELECT q.*, l.pred_lang, l.lang_score, f.fp
+FROM ({SQL_QUALITY.strip()}) q
+JOIN ({SQL_LANG_ID.strip()}) l USING (doc_id)
+JOIN ({SQL_FINGERPRINT.strip()}) f USING (doc_id)
+"""
+
+
+def q_webtext_doc_suite(spark, sf_dir):
+    """repetition_stats ⋈ filter_decision on doc_id — the per-doc
+    hygiene signals and the keep/drop gate they feed."""
+    return q_repetition_stats(spark, sf_dir).join(
+        q_filter_decision(spark, sf_dir), "doc_id"
+    )
+
+
+SQL_WEBTEXT_DOC_SUITE = f"""
+SELECT r.*, f.keep, f.reasons
+FROM ({SQL_REPETITION_STATS.strip()}) r
+JOIN ({SQL_FILTER_DECISION.strip()}) f USING (doc_id)
+"""
