@@ -65,6 +65,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grammar_const": C.q_grammar_const_suite,
         "bm25_boost": C.q_bm25_boost,
         "bm25_range": C.q_bm25_range,
+        # fuzzy term~N and prefix term*/"a b"* (tantivy FuzzyTermQuery
+        # / PhrasePrefixQuery — the last QueryParser surfaces)
+        "bm25_fuzzy": C.q_bm25_fuzzy,
+        "bm25_prefix": C.q_bm25_prefix,
         # second indexed text field (reference file_path → url):
         # or/and/phrase/range folded
         "url_field": C.q_url_field_suite,
@@ -155,6 +159,8 @@ def oracle_sql() -> dict[str, str]:
             score_plus=1.0,
             range_pred="p.doc_id BETWEEN 100 AND 300",
         ),
+        "bm25_fuzzy": C.SQL_BM25_FUZZY,
+        "bm25_prefix": C.SQL_BM25_PREFIX,
         "url_field": C.variants_sql([
             ("or", C.bm25_url_mixed_sql(["data"], ["src3"])),
             ("and", C.bm25_url_mixed_sql(["data"], ["src3"],

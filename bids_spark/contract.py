@@ -1856,3 +1856,108 @@ SELECT r.*, f.keep, f.reasons
 FROM ({SQL_REPETITION_STATS.strip()}) r
 JOIN ({SQL_FILTER_DECISION.strip()}) f USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (`term~N`) and prefix (`term*` / `"a b"*`) rows — the last
+# reference-reachable QueryParser surfaces (tantivy FuzzyTermQuery /
+# PhrasePrefixQuery; committed semantics in plans/parser.py).
+# Constant scorers, so the oracles rank by doc_id like TERM_SET_SQL.
+# ---------------------------------------------------------------------------
+
+
+def q_bm25_fuzzy(spark, sf_dir):
+    """Fuzzy term on both fields: `part~2` expands over the content
+    dictionary ({part, fast, sort} at this corpus), `url:src3~1` over
+    the url namespace ({src0..src9, src13, src3})."""
+    return _tagged_union([
+        ("content", _search_blocked(spark, sf_dir, "part~2")),
+        ("url", _search_blocked(spark, sf_dir, "url:src3~1")),
+    ])
+
+
+def fuzzy_topk_sql(q: str, dist: int, k: int = 10, url: bool = False) -> str:
+    """Constant scorer over docs containing ANY dictionary term within
+    plain Levenshtein ≤ dist (DuckDB levenshtein == Spark's), same
+    field namespace."""
+    esc = q.replace("'", "''")
+    ctes, tokrel = (_URL_CTES, "utok") if url else (_TOK_CTES, "tok")
+    return f"""
+WITH {ctes},
+exp AS (
+  SELECT DISTINCT term FROM {tokrel}
+  WHERE levenshtein(term, '{esc}') <= {int(dist)}
+),
+m AS (SELECT DISTINCT doc_id FROM {tokrel}
+      WHERE term IN (SELECT term FROM exp))
+SELECT CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(1.0, 6) AS score
+FROM m ORDER BY doc_id ASC LIMIT {k}
+"""
+
+
+def q_bm25_prefix(spark, sf_dir):
+    """Prefix queries on every surface: bare term prefix (`s*` —
+    constant scorer over the [s, s+U+10FFFF) term range), phrase-prefix
+    (`"merge jo"*` — fixed term adjacency then any jo* term), and a
+    url-field prefix (`url:src1*`)."""
+    return _tagged_union([
+        ("term", _search_blocked(spark, sf_dir, "s*")),
+        ("phrase", _search_blocked(spark, sf_dir, '"merge jo"*')),
+        ("url", _search_blocked(spark, sf_dir, "url:src1*")),
+    ])
+
+
+def prefix_topk_sql(pfx: str, k: int = 10, url: bool = False) -> str:
+    esc = pfx.replace("'", "''")
+    ctes, tokrel = (_URL_CTES, "utok") if url else (_TOK_CTES, "tok")
+    return f"""
+WITH {ctes},
+m AS (SELECT DISTINCT doc_id FROM {tokrel}
+      WHERE starts_with(term, '{esc}'))
+SELECT CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(1.0, 6) AS score
+FROM m ORDER BY doc_id ASC LIMIT {k}
+"""
+
+
+def phrase_prefix_topk_sql(fixed: list[str], pfx: str, k: int = 10) -> str:
+    """Constant scorer: fixed terms consecutive, then ANY term with
+    the prefix at the next position (content field)."""
+    esc = [t.replace("'", "''") for t in fixed]
+    pesc = pfx.replace("'", "''")
+    chain_joins = "\n".join(
+        f"JOIN pos t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.lst = t0.lst "
+        f"AND t{i}.p = t0.p + {i} AND t{i}.lst[t{i}.p] = '{esc[i]}'"
+        for i in range(1, len(fixed))
+    )
+    n = len(fixed)
+    return f"""
+WITH {_TOK_CTES},
+{_LST_CTE.strip().lstrip()},
+pos AS (SELECT doc_id, unnest(generate_series(1, len(lst))) AS p, lst FROM base),
+m AS (
+  SELECT DISTINCT t0.doc_id
+  FROM pos t0
+  {chain_joins}
+  JOIN pos tp ON tp.doc_id = t0.doc_id AND tp.lst = t0.lst
+             AND tp.p = t0.p + {n}
+             AND starts_with(tp.lst[tp.p], '{pesc}')
+  WHERE t0.lst[t0.p] = '{esc[0]}'
+)
+SELECT CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank,
+       doc_id, round(1.0, 6) AS score
+FROM m ORDER BY doc_id ASC LIMIT {k}
+"""
+
+
+SQL_BM25_FUZZY = variants_sql([
+    ("content", fuzzy_topk_sql("part", 2)),
+    ("url", fuzzy_topk_sql("src3", 1, url=True)),
+])
+
+SQL_BM25_PREFIX = variants_sql([
+    ("term", prefix_topk_sql("s")),
+    ("phrase", phrase_prefix_topk_sql(["merge"], "jo")),
+    ("url", prefix_topk_sql("src1", url=True)),
+])

@@ -827,6 +827,14 @@ class SegmentedSearchEngine(BlockedSearchEngine):
     def _term_blocks(self, terms: list[str]) -> DataFrame:
         return self._union_term_blocks(terms, range(len(self._seg_blocks)))
 
+    def _vocabulary(self) -> DataFrame:
+        """Fuzzy expansion scans the union of the segments' term
+        dictionaries (duplicates fine — the expansion set-dedups)."""
+        out = self._seg_tdicts[0].select("term")
+        for td in self._seg_tdicts[1:]:
+            out = out.unionByName(td.select("term"))
+        return out
+
     def _termrange_blocks(self, tr) -> DataFrame:
         """Union of every segment's in-range blocks.  No idf
         substitution / bound rescaling: a TermRange is a constant

@@ -102,8 +102,11 @@ from bids_spark.plans.parser import (
     Bool,
     DocIdSet,
     Phrase,
+    PhrasePrefix,
+    PREFIX_CEIL,
     Range,
     Term,
+    TermRange,
     parse_query,
 )
 from bids_spark.functions.bm25 import bm25_term_score
@@ -112,6 +115,7 @@ from bids_spark.plans.planner import (
     _slop_tf_udf,
     eval_phrase,
     eval_phrase_fused,
+    eval_phrase_prefix,
     term_range_pred,
 )
 
@@ -603,6 +607,43 @@ class BlockedSearchEngine(BooleanEvaluator):
 
     def _empty_scores(self) -> DataFrame:
         return self._empty()
+
+    def _vocabulary(self) -> DataFrame:
+        """Fuzzy-expansion scan target: the term dictionary relation
+        (one row per term — O(vocabulary), not O(postings))."""
+        return self.tdict.select("term")
+
+    def _eval_phrase_prefix(self, pp: PhrasePrefix) -> DataFrame:
+        """Phrase-prefix on the blocked path: the fixed members'
+        blocks (bucket-pruned) unioned with the prefix's term-RANGE
+        blocks (lexicographic row-group pruning, no term list on the
+        driver), restricted by the fixed-member conjunction bitmap —
+        sound because every match holds ALL fixed terms (same argument
+        as _eval_phrase) — then ONE positions decode feeding the
+        shared constant-score adjacency aggregation
+        (planner.eval_phrase_prefix).  Works on f64-mode indexes:
+        constant score needs no dl."""
+        if not self._has_positions():
+            raise NotImplementedError(
+                "this blocked index stores no positions; rebuild with "
+                "with_positions=True (or use the naive SearchEngine) "
+                "for phrase-prefix queries"
+            )
+        fixed = list(dict.fromkeys(pp.terms[:-1]))
+        meta = self._term_meta(fixed)
+        pfx = pp.terms[-1]
+        tr = TermRange(pfx, pfx + PREFIX_CEIL, hi_incl=False)
+        blocks = self._term_blocks(fixed).unionByName(
+            self._termrange_blocks(tr)
+        )
+        empty, bitmap_pred, rarest_ranges = self._bool_restriction(
+            sorted(fixed), sorted(fixed), meta=meta
+        )
+        if empty:
+            return self._empty()
+        blocks = self._restrict_blocks(blocks, bitmap_pred, rarest_ranges)
+        blocks = self._apply_range_ctx(blocks)
+        return eval_phrase_prefix(self._decode_positions(blocks), pp)
 
     def _has_deletes(self) -> bool:
         """Overridden by the segmented engine when tombstones exist.

@@ -21,13 +21,31 @@ from bids_spark.plans.parser import (
     All,
     Bool,
     DocIdSet,
+    Fuzzy,
     Phrase,
+    PhrasePrefix,
     Range,
     Term,
     TermRange,
     TermSet,
     parse_query,
 )
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain edit distance (insert/delete/substitute, no transposition
+    discount) — the semantics Spark's and DuckDB's levenshtein() share."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)
+            ))
+        prev = cur
+    return prev[-1]
 
 
 def tokenize(text: str) -> list[str]:
@@ -162,6 +180,44 @@ class OracleIndex:
         if isinstance(node, DocIdSet):
             ids = set(node.ids)
             return {d: 1.0 for d in self.dl if d in ids}
+        if isinstance(node, Fuzzy):
+            # constant scorer: any dictionary term within Levenshtein
+            # ≤ dist, same field namespace (FuzzyTermQuery)
+            ns = is_url_term(node.term)
+            q = node.term[len(url_term("")):] if ns else node.term
+            exp = {
+                t for t in self.df
+                if is_url_term(t) == ns
+                and _levenshtein(
+                    t[len(url_term("")):] if ns else t, q
+                ) <= node.dist
+            }
+            return {
+                d: 1.0
+                for d, c in self.tf.items()
+                if any(t in c for t in exp)
+            }
+        if isinstance(node, PhrasePrefix):
+            # constant scorer: fixed terms adjacent then ANY term with
+            # the last prefix at the next position (PhrasePrefixQuery)
+            fixed, pfx = node.terms[:-1], node.terms[-1]
+            out = {}
+            for d, pos in self.positions.items():
+                if any(t not in pos for t in fixed):
+                    continue
+                ends = pos[fixed[0]]
+                for t in fixed[1:]:
+                    nxt = set(pos[t])
+                    ends = [p + 1 for p in ends if p + 1 in nxt]
+                ppos = {
+                    p
+                    for t, ps in pos.items()
+                    if t.startswith(pfx)
+                    for p in ps
+                }
+                if any(p + 1 in ppos for p in ends):
+                    out[d] = 1.0
+            return out
         if isinstance(node, TermRange):
             # constant scorer: any term lexicographically within the
             # bounds (UTF-8 byte order, like Spark/DuckDB strings)

@@ -16,10 +16,11 @@ exposes (`index.parse_query(q, ["content"])` at
       `~N` composes with boost as `"a b"~2^3` (slop first, like
       Lucene/tantivy).  On a quoted string that degrades to a single
       term (or nothing) the slop is accepted and dropped — slop is
-      meaningless without at least two positions to relate.  Bare-word
-      `term~N` (tantivy fuzzy-term syntax) is REJECTED loudly —
-      unsupported, and the old silent tokenization into the phrase
-      ["term","n"] was wrong semantics under any reading.
+      meaningless without at least two positions to relate.
+    - `term~N` (bare word)      → fuzzy term (tantivy FuzzyTermQuery):
+      Levenshtein-≤N dictionary expansion, constant scorer, N ≤ 2
+      (the Levenshtein-automata ceiling).  Field-scoped `url:tok~1`
+      expands within the url namespace.  See the Fuzzy dataclass.
     - `( ... )`                 → grouping
     - `atom^2.5`                → boost: the wrapped query's score is
       multiplied (tantivy BoostQuery; works on terms, phrases, groups,
@@ -51,12 +52,14 @@ exposes (`index.parse_query(q, ["content"])` at
       `doc_id: IN [1 2 3]` is the fast-field variant, like Range.
       The spaced form is required (`field: IN [...]` — tantivy's own
       spelling); glued `field:IN [...]` is a loud parse error.
-    - prefix syntax is REJECTED loudly: `term*` would otherwise
-      silently drop the star (searching fewer docs than asked), and
-      `"a b"*` (tantivy PhrasePrefixQuery) would silently lex the star
-      as a separate match-all atom (searching EVERYTHING).  Like fuzzy,
-      prefix expansion semantics can't be verified against the
-      reference stack here — documented divergence, not a silent one.
+    - `term*` / `url:tok*`      → prefix query: constant scorer over
+      docs holding ANY term starting with the prefix, desugared to the
+      term-range machinery ([tok, tok+U+10FFFF) — exact, see
+      prefix_term_range).  `"a b c"*` → phrase-prefix (tantivy
+      PhrasePrefixQuery): the fixed terms adjacent, then ANY term with
+      the last prefix; constant scorer, exact expansion (no
+      max_expansions cap — documented divergence, superset only where
+      tantivy truncates).  A single-token `"a"*` degrades to `a*`.
     - `content:term` / `content:"a b"` → field-scoped query.  The
       schema declares TWO indexed text fields (`file_path` — our
       `url` — and `content`, bids/index.py:49-52; both confirmed
@@ -160,6 +163,57 @@ class TermSet:
 
     terms: tuple[str, ...]
     boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Fuzzy:
+    """`term~N` (tantivy fuzzy-term syntax → FuzzyTermQuery):
+    Levenshtein-distance-≤N term expansion over the dictionary,
+    constant scorer (1.0 × boost) per live doc containing ANY expanded
+    term — tantivy's automaton queries score through a ConstScorer.
+    N ≤ 2 (the Levenshtein-automata ceiling tantivy inherits from the
+    levenshtein_automata crate); plain edit distance (no transposition
+    discount), matching both Spark's and DuckDB's levenshtein() so the
+    expansion sits under the oracle.  `term` may be URL_NS-namespaced
+    (`url:tok~1`); expansion stays within the term's field namespace."""
+
+    term: str
+    dist: int
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PhrasePrefix:
+    """`"a b c"*` (tantivy PhrasePrefixQuery): terms[:-1] occur
+    consecutively, immediately followed by ANY dictionary term
+    starting with terms[-1].  Constant scorer (1.0 × boost).
+    Divergence, documented: tantivy caps the expansion at
+    max_expansions=50 dictionary-order terms; this engine expands
+    exactly (the prefix is a pushed-down term-range predicate, no term
+    list materializes), so the match set is a superset only where
+    tantivy's cap truncates — and exactness keeps the op under the
+    DuckDB oracle.  Terms are namespaced for url-field phrases."""
+
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+#: Exclusive upper bound for a prefix expansion: tokens are
+#: [\p{L}\p{N}]+ so none contains U+10FFFF, making
+#: [tok, tok+U+10FFFF) exactly the set of tokens with prefix `tok`
+#: in UTF-8 byte order (= codepoint order).
+PREFIX_CEIL = "\U0010ffff"
+
+
+def prefix_term_range(tok: str, fld: str = "content") -> TermRange:
+    """`tok*` desugared to a TermRange — the shipped lexicographic
+    block-selection machinery (parquet row-group min/max inside sorted
+    bucket partitions) serves prefixes with zero new engine code."""
+    if fld in URL_FIELDS:
+        return TermRange(
+            url_term(tok), url_term(tok) + PREFIX_CEIL, hi_incl=False
+        )
+    return TermRange(tok, tok + PREFIX_CEIL, hi_incl=False)
 
 
 @dataclass(frozen=True)
@@ -330,6 +384,37 @@ class _Parser:
         if len(terms) == 1:
             return Term(terms[0])
         return Phrase(tuple(terms))
+
+    @staticmethod
+    def _split_field(core: str, orig: str) -> tuple[str, str]:
+        """`url:da` → ("url", "da"); unqualified → ("content", core).
+        Shared by the prefix/fuzzy word-atom forms, which strip their
+        suffix before field resolution.  Raises on undeclared fields
+        (same policy as _word_atom's plain-term path)."""
+        if ":" in core:
+            fld, _, rest = core.partition(":")
+            if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", fld):
+                if fld.lower() not in FIELDS:
+                    raise ValueError(
+                        f"unknown field '{fld}' in query {orig!r} "
+                        f"(declared fields: {', '.join(sorted(FIELDS))})"
+                    )
+                return fld.lower(), rest
+        return "content", core
+
+    @staticmethod
+    def _phrase_prefix_atom(raw: str, fld: str = "content"):
+        """`"a b c"*` → PhrasePrefix (≥2 tokens), a plain prefix range
+        (1 token), or None (0 tokens) — mirroring how a quoted phrase
+        degrades to Term/None."""
+        toks = tokenize_query(raw.rstrip("*").strip('"'))
+        if not toks:
+            return None
+        if len(toks) == 1:
+            return prefix_term_range(toks[0], fld)
+        if fld in URL_FIELDS:
+            toks = [url_term(t) for t in toks]
+        return PhrasePrefix(tuple(toks))
 
     def _default_atom(self, text: str):
         """Unqualified atom against the DEFAULT field list — tantivy's
@@ -522,15 +607,19 @@ class _Parser:
             return self._maybe_boost(inner)
         if kind == "phrase":
             if val.endswith("*"):
-                # tantivy PhrasePrefixQuery syntax.  Before this guard
-                # the trailing * lexed as a SEPARATE match-all atom, so
-                # "a b"* silently became (phrase OR everything) — worse
-                # than rejecting.  A spaced `"a b" *` still means
-                # phrase-OR-all (two atoms, tantivy reads it the same).
-                raise ValueError(
-                    'phrase-prefix queries ("a b"*) are not supported '
-                    "— expand the prefix into explicit terms"
-                )
+                # tantivy PhrasePrefixQuery syntax ("a b"*): one
+                # phrase-prefix per default field, should-unioned like
+                # _default_atom.  (A spaced `"a b" *` still means
+                # phrase-OR-all — two atoms, tantivy reads it the same.)
+                nodes = [
+                    a
+                    for f in self.default_fields
+                    if (a := self._phrase_prefix_atom(val, f)) is not None
+                ]
+                if not nodes:
+                    return None
+                node = nodes[0] if len(nodes) == 1 else Bool(should=nodes)
+                return self._maybe_boost(node)
             node = self._maybe_slop(self._default_atom(val.strip('"')))
             return self._maybe_boost(node)
         if kind == "range":
@@ -562,24 +651,39 @@ class _Parser:
 
     def _word_atom(self, val: str):
         if val.endswith("*") and val != "*":
-            # prefix-term syntax (data*): the tokenizer would silently
-            # strip the star and search the bare term — narrower
-            # results than the user asked for.  Reject loudly.
-            raise ValueError(
-                f"prefix term queries ({val!r}) are not supported — "
-                "spell out the terms or use a set query "
-                "(content: IN [a b c])"
-            )
-        if re.search(r"~\d+$", val) and not val.startswith("~"):
-            # tantivy fuzzy-term syntax.  Silently tokenizing it into
-            # the phrase ["data","2"] (the pre-round-4 behaviour for
-            # such words) is wrong semantics either way, so reject
-            # loudly instead — same policy as the boost fix.
-            raise ValueError(
-                f"fuzzy term queries ({val!r}) are not supported; "
-                "~N applies to quoted phrases as slop (\"a b\"~2) — "
-                "drop the ~N or quote the phrase"
-            )
+            # prefix-term syntax (data* / url:da*), tantivy prefix
+            # semantics: constant scorer over docs holding ANY term
+            # starting with the prefix — desugared to the term-range
+            # machinery (prefix_term_range).
+            fld, core = self._split_field(val[:-1], val)
+            toks = tokenize_query(core)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"prefix query {val!r} must be a single term "
+                    f"(tokenized to {toks}) — quote multi-token "
+                    'prefixes as a phrase-prefix: "a b"*'
+                )
+            return prefix_term_range(toks[0], fld)
+        if (m := re.search(r"~(\d+)$", val)) and not val.startswith("~"):
+            # tantivy fuzzy-term syntax (term~N → FuzzyTermQuery):
+            # Levenshtein ≤N dictionary expansion, constant scorer.
+            dist = int(m.group(1))
+            if dist > 2:
+                raise ValueError(
+                    f"fuzzy distance {dist} in {val!r} exceeds 2 — "
+                    "Levenshtein automata (tantivy's and ours) stop "
+                    "at edit distance 2"
+                )
+            fld, core = self._split_field(val[: m.start()], val)
+            toks = tokenize_query(core)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"fuzzy query {val!r} must be a single term "
+                    f"(tokenized to {toks}); ~N on quoted phrases is "
+                    'slop ("a b"~2)'
+                )
+            t = url_term(toks[0]) if fld in URL_FIELDS else toks[0]
+            return Fuzzy(t, dist)
         if ":" in val:
             fld, _, rest = val.partition(":")
             if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", fld):
@@ -608,9 +712,12 @@ class _Parser:
                 )
             if not rest:
                 # `content:"a b"` / `url:"a b"` — the quote ended the
-                # word token
+                # word token; a trailing * is a field-scoped
+                # phrase-prefix (url:"a b"*)
                 if self.peek()[0] == "phrase":
                     _, qval = self.next()
+                    if qval.endswith("*"):
+                        return self._phrase_prefix_atom(qval, fld.lower())
                     return self._tokens_atom(qval.strip('"'), fld.lower())
                 return None
             return self._tokens_atom(rest, fld.lower())

@@ -42,7 +42,10 @@ from bids_spark.plans.parser import (
     All,
     Bool,
     DocIdSet,
+    Fuzzy,
     Phrase,
+    PhrasePrefix,
+    PREFIX_CEIL,
     Range,
     Term,
     TermRange,
@@ -267,6 +270,69 @@ def eval_phrase_fused(
     )
 
 
+def eval_phrase_prefix(postings_pos: DataFrame, pp: PhrasePrefix) -> DataFrame:
+    """(doc_id, 1.0) for docs where pp.terms[:-1] occur consecutively,
+    immediately followed by ANY term starting with pp.terms[-1]
+    (tantivy PhrasePrefixQuery, constant scorer — see the dataclass).
+
+    ONE aggregation over the member+prefix postings slice (the fused
+    phrase shape, eval_phrase_fused): per doc, collect the fixed
+    terms' position arrays as a map and the UNION of prefix-matching
+    terms' positions, chain the fixed arrays with the same
+    array_intersect(transform(+1)) algebra as eval_phrase, and keep
+    docs where some chain end is immediately followed by a prefix
+    position.  `postings_pos` needs (term, doc_id, positions) and must
+    contain at least every posting of the fixed and prefix-matching
+    terms (a superset is fine — filters apply here); shared by the
+    naive engine (raw postings) and the blocked one (decoded blocks).
+    Constant score ⇒ no dl/doclens dependency, so the blocked path
+    works on f64-mode indexes too."""
+    fixed = list(pp.terms[:-1])
+    uniq = list(dict.fromkeys(fixed))
+    pfx = pp.terms[-1]
+    tr = TermRange(pfx, pfx + PREFIX_CEIL, hi_incl=False)
+    pred_fixed = F.col("term").isin(uniq)
+    pred_pref = term_range_pred(F.col("term"), tr)
+    per_doc = (
+        postings_pos.filter(pred_fixed | pred_pref)
+        .select(
+            "doc_id",
+            # a term can play BOTH roles ("jo jo"*): two whens emit
+            # each role independently; collect_list skips the NULLs
+            F.when(pred_fixed, F.struct("term", "positions")).alias("fx"),
+            F.when(pred_pref, F.col("positions")).alias("pf"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(F.collect_list("fx")).alias("pmap"),
+            F.flatten(F.collect_list("pf")).alias("ppos"),
+        )
+        .filter(F.size(F.col("pmap")) == len(uniq))
+        .filter(F.size("ppos") > 0)
+    )
+    arrs = F.array(*[F.col("pmap")[F.lit(t)] for t in fixed])
+    n = len(fixed)
+    if n == 1:
+        ends = F.element_at(arrs, 1)
+    else:
+        ends = F.aggregate(
+            F.slice(arrs, 2, n - 1),
+            F.element_at(arrs, 1),
+            lambda acc, x: F.array_intersect(
+                F.transform(acc, lambda e: e + F.lit(1)), x
+            ),
+        )
+    hit = (
+        F.size(
+            F.array_intersect(
+                F.transform(ends, lambda e: e + F.lit(1)), F.col("ppos")
+            )
+        )
+        > 0
+    )
+    return per_doc.filter(hit).select("doc_id", F.lit(1.0).alias("score"))
+
+
 class BooleanEvaluator:
     """AST → (doc_id, score) DataFrame, Lucene BooleanQuery semantics.
 
@@ -325,6 +391,63 @@ class BooleanEvaluator:
         implements over its own postings/dictionary representation."""
         raise NotImplementedError  # pragma: no cover
 
+    def _vocabulary(self) -> DataFrame:  # pragma: no cover
+        """(term) — the engine's term dictionary (duplicates allowed),
+        the Fuzzy expansion's scan target."""
+        raise NotImplementedError
+
+    def _expand_fuzzy(self, fz: Fuzzy) -> list[str]:
+        """Dictionary terms within Levenshtein ≤ dist of the query
+        term, same field namespace.  The scan is one dictionary-
+        relation pass narrowed by a namespace prefix (parquet
+        row-group pruning on the sorted term column) and a length band
+        (|len(t)−len(q)| ≤ dist is a Levenshtein lower bound) with the
+        edit distance itself evaluated JVM-side (F.levenshtein).
+        tantivy walks an FST with a Levenshtein automaton instead —
+        sublinear in vocabulary where this is linear, but the scan is
+        embarrassingly parallel and happens once per query.  The
+        collect is the expanded term set: the ≤2-edit neighborhood of
+        one term, metadata-sized by construction."""
+        from bids_spark.functions.fields import (
+            URL_NS,
+            is_url_term,
+            url_term_col,
+        )
+
+        voc = self._vocabulary()
+        if is_url_term(fz.term):
+            q = fz.term[len(URL_NS):]
+            voc = voc.filter(url_term_col(F.col("term"))).select(
+                "term",
+                F.col("term").substr(len(URL_NS) + 1, 1_000_000).alias("bare"),
+            )
+        else:
+            q = fz.term
+            voc = voc.filter(~url_term_col(F.col("term"))).select(
+                "term", F.col("term").alias("bare")
+            )
+        d = int(fz.dist)
+        cand = voc.filter(
+            (F.length("bare") >= F.lit(len(q) - d))
+            & (F.length("bare") <= F.lit(len(q) + d))
+            & (F.levenshtein(F.col("bare"), F.lit(q)) <= F.lit(d))
+        )
+        return sorted({r["term"] for r in cand.select("term").collect()})
+
+    def _eval_fuzzy(self, fz: Fuzzy) -> DataFrame:
+        """Fuzzy term (tantivy FuzzyTermQuery): constant scorer over
+        the union of the expanded terms' postings — evaluated as a
+        TermSet so every engine's set machinery (single multi-term
+        pruned scan on the blocked path, tombstone anti-join on the
+        segmented one) applies unchanged."""
+        terms = self._expand_fuzzy(fz)
+        if not terms:
+            return self._empty_scores()
+        return self._eval_termset(TermSet(tuple(terms)))
+
+    def _eval_phrase_prefix(self, pp: PhrasePrefix):  # pragma: no cover
+        raise NotImplementedError
+
     def _eval_docidset(self, s: DocIdSet) -> DataFrame:
         """Constant scorer over the doc_id fast field, like Range."""
         if not s.ids:
@@ -350,6 +473,10 @@ class BooleanEvaluator:
             df = self._eval_termrange(node)
         elif isinstance(node, DocIdSet):
             df = self._eval_docidset(node)
+        elif isinstance(node, Fuzzy):
+            df = self._eval_fuzzy(node)
+        elif isinstance(node, PhrasePrefix):
+            df = self._eval_phrase_prefix(node)
         elif isinstance(node, Bool):
             df = self._eval_bool(node)
         else:
@@ -530,6 +657,12 @@ class SearchEngine(BooleanEvaluator):
         # one row per indexed doc (dl may be 0 — an empty doc still
         # matches All/Range, as in tantivy)
         return self.doclens.select("doc_id")
+
+    def _vocabulary(self) -> DataFrame:
+        return self.postings_pos.select("term")
+
+    def _eval_phrase_prefix(self, pp: PhrasePrefix) -> DataFrame:
+        return eval_phrase_prefix(self.postings_pos, pp)
 
     def _eval_termrange(self, tr: TermRange) -> DataFrame:
         return (

@@ -142,11 +142,16 @@ def test_parse_slop_invalid():
         parse_query('"merge join"~1.5')
 
 
-def test_parse_fuzzy_term_rejected_loudly():
-    # tantivy fuzzy-term syntax: unsupported, but rejecting beats the
-    # old silent mis-parse into the phrase ["data","2"]
-    with pytest.raises(ValueError, match="fuzzy"):
-        parse_query("data~2")
+def test_parse_fuzzy_term_served():
+    # tantivy fuzzy-term syntax is SERVED since round 5 (FuzzyTermQuery
+    # semantics — plans/parser.py Fuzzy); distance >2 still rejects
+    # (the Levenshtein-automata ceiling)
+    from bids_spark.plans.parser import Fuzzy
+
+    assert parse_query("data~2").should == [Fuzzy("data", 2)]
+    assert parse_query("data~1^3").should == [Fuzzy("data", 1, 3.0)]
+    with pytest.raises(ValueError, match="exceeds 2"):
+        parse_query("data~3")
     # a lone ~N (no term prefix) keeps tokenizing as before
     assert parse_query("~2").should == [Term("2")]
 
@@ -155,14 +160,22 @@ def test_parse_plain_phrase_unchanged():
     assert parse_query('"merge join"').should == [Phrase(("merge", "join"))]
 
 
-def test_parse_prefix_syntax_rejected_loudly():
-    # "a b"* previously lexed the star as a SEPARATE match-all atom —
-    # the query silently matched everything; data* silently dropped
-    # the star.  Both are loud errors now.
-    with pytest.raises(ValueError, match="phrase-prefix"):
-        parse_query('"merge join"*')
-    with pytest.raises(ValueError, match="prefix term"):
-        parse_query("data*")
+def test_parse_prefix_syntax_served():
+    # prefix syntax is SERVED since round 5: data* desugars to the
+    # exact term range [data, data+U+10FFFF) and "a b"* parses as a
+    # PhrasePrefix (tantivy PhrasePrefixQuery semantics)
+    from bids_spark.plans.parser import PREFIX_CEIL, PhrasePrefix, TermRange
+
+    assert parse_query('"merge join"*').should == [
+        PhrasePrefix(("merge", "join"))
+    ]
+    assert parse_query("data*").should == [
+        TermRange("data", "data" + PREFIX_CEIL, hi_incl=False)
+    ]
+    # a single-token quoted prefix degrades to a plain prefix range
+    assert parse_query('"data"*').should == [
+        TermRange("data", "data" + PREFIX_CEIL, hi_incl=False)
+    ]
     # bare * (match-all) and boosted *^2 are unchanged
     assert parse_query("*").should
     assert parse_query("*^2").should[0].boost == 2.0
