@@ -174,9 +174,11 @@ def oracle_sql() -> dict[str, str]:
             should=["merge", "join"], limit=5, offset=2
         ),
         "extract_invariant": C.SQL_EXTRACT_INVARIANT,
-        # token_count_bpe: no oracle — the BPE merge loop is not
-        # SQL-expressible; golden-pinned in tests/test_bpe.py
         "token_count": C.SQL_TOKEN_COUNT,
+        # the BPE merge loop as a recursive CTE: one replace() per
+        # merge pass over \x02-encoded symbol strings (contract.py
+        # bpe_count_sql) — the gate's last no_oracle row, now oracled
+        "token_count_bpe": C.SQL_TOKEN_COUNT_BPE,
         "textstats": C.SQL_TEXTSTATS_SUITE,
         "dedup_exact": C.SQL_DEDUP_EXACT,
         "webtext_doc": C.SQL_WEBTEXT_DOC_SUITE,

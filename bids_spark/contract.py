@@ -1961,3 +1961,111 @@ SQL_BM25_PREFIX = variants_sql([
     ("phrase", phrase_prefix_topk_sql(["merge"], "jo")),
     ("url", prefix_topk_sql("src1", url=True)),
 ])
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle for the real-BPE token budget (the gate's last
+# no_oracle row).  The merge loop IS SQL-expressible after two
+# observations:
+#   1. "merge all non-overlapping occurrences of the best pair,
+#      left-to-right" is exactly ONE replace() call when the word's
+#      symbols are encoded as a \x02-delimited string
+#      (\x02a\x02\x02b\x02 → \x02ab\x02): stdlib replace scans
+#      left-to-right and never rescans replaced text — the same walk
+#      bpe_word_tokens does over the symbol list;
+#   2. ranks are unique per pair type, so "first pair with the minimal
+#      rank" (the Python scan's tiebreak) is just the pair type at the
+#      argmin — a map lookup over adjacent pairs, no sequential scan.
+# A recursive CTE iterates word-states to fixpoint (no rankable pair
+# left); recursion is over DISTINCT words (the UDF's memo, in SQL),
+# then counts join back to the doc→word multiset.  Same technique
+# class as bm25_phrase_slop_sql's recursive greedy walk.
+# ---------------------------------------------------------------------------
+
+
+def bpe_count_sql(merges_path: str | None = None) -> str:
+    from bids_spark.functions.bpe import DEFAULT_MERGES, load_merges
+
+    ranks = load_merges(merges_path or DEFAULT_MERGES)
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    keys = ", ".join(
+        f"'{esc(a)}' || chr(1) || '{esc(b)}'" for (a, b) in ranks
+    )
+    vals = ", ".join(str(r) for r in ranks.values())
+    presplit = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+    return f"""
+WITH RECURSIVE
+mm AS (SELECT map([{keys}], [{vals}]) AS m),
+w AS (
+  SELECT DISTINCT
+         unnest(regexp_extract_all(lower(text), '{presplit}')) AS word
+  FROM documents
+),
+init AS (
+  SELECT word,
+         chr(2) || array_to_string(
+           list_append(
+             list_transform(generate_series(1, length(word)),
+                            i -> substr(word, i, 1)),
+             '</w>'),
+           chr(2) || chr(2)) || chr(2) AS s
+  FROM w
+),
+r AS (
+  SELECT word, s, 0 AS it FROM init
+  UNION ALL
+  SELECT word,
+         replace(s, chr(2) || a || chr(2) || chr(2) || b || chr(2),
+                 chr(2) || a || b || chr(2)) AS s,
+         it + 1
+  FROM (
+    SELECT word, s, it, syms[idx] AS a, syms[idx + 1] AS b
+    FROM (
+      SELECT word, s, it, syms,
+             list_position(
+               pr, list_min(list_filter(pr, x -> x IS NOT NULL))
+             ) AS idx
+      FROM (
+        SELECT word, s, it, syms,
+               list_transform(
+                 generate_series(1, len(syms) - 1),
+                 i -> list_extract(
+                   map_extract(m, syms[i] || chr(1) || syms[i + 1]), 1)
+               ) AS pr
+        FROM (SELECT word, s, it,
+                     string_split(s[2:length(s) - 1], chr(2) || chr(2))
+                       AS syms
+              FROM r), mm
+      )
+    ) WHERE idx IS NOT NULL AND idx > 0
+  )
+),
+fin AS (
+  SELECT word, s FROM (
+    SELECT word, s,
+           row_number() OVER (PARTITION BY word ORDER BY it DESC) AS rn
+    FROM r
+  ) WHERE rn = 1
+),
+cnt AS (
+  SELECT word,
+         len(string_split(s[2:length(s) - 1], chr(2) || chr(2))) AS n
+  FROM fin
+),
+dw AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{presplit}')) AS word
+  FROM documents
+)
+SELECT d.doc_id, CAST(coalesce(sum(c.n), 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d
+LEFT JOIN dw USING (doc_id)
+LEFT JOIN cnt c USING (word)
+GROUP BY d.doc_id
+"""
+
+
+SQL_TOKEN_COUNT_BPE = bpe_count_sql()

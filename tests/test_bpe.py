@@ -96,3 +96,48 @@ def test_merges_only_reduce_counts(spark):
         unmerged = sum(len(w) + 1 for w in words)
         n = count_tokens_str(r["text"], ranks)
         assert len(words) <= n <= unmerged
+
+
+def test_duckdb_recursive_cte_oracle_parity():
+    """The driver gate's BPE oracle (contract.bpe_count_sql — merge
+    passes as replace() over \\x02-encoded symbol strings, recursive
+    CTE to fixpoint) must agree with the Python merge loop on every
+    sf0.001 document AND on adversarial words (repeat runs where the
+    non-overlap greedy matters, quotes, unicode)."""
+    import duckdb
+
+    from bids_spark.contract import bpe_count_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    ranks = load_merges(DEFAULT_MERGES)
+    duck = dict(con.execute(bpe_count_sql()).fetchall())
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    assert len(duck) == len(t["doc_id"])
+    for d, txt in zip(t["doc_id"], t["text"]):
+        assert duck[d] == count_tokens_str(txt, ranks), d
+
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)"
+    )
+    advers = [
+        (1, "0000000 00 0"),        # (0,0) overlap runs — greedy l-t-r
+        (2, "aaaa bbbb merge"),
+        (3, "don't \"quote\" it's"),  # quote escaping in literals
+        (4, ""),                     # empty text → 0
+        (5, "   "),                  # whitespace only → 0
+        (6, "the the the merge merge"),
+        (7, "x" * 50),               # long run
+    ]
+    con2.executemany("INSERT INTO documents VALUES (?, ?)", advers)
+    duck2 = dict(con2.execute(bpe_count_sql()).fetchall())
+    for d, txt in advers:
+        assert duck2[d] == count_tokens_str(txt, ranks), (d, txt)
