@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_exact": C.q_embedding_neardup_exact,
         "decode_features": C.q_decode_features,
         "frame_sample": C.q_frame_sample,
+        # SBOM transform (reference sbom.py process_file as Catalyst)
+        "sbom": C.q_sbom,
     }
 
 
@@ -194,4 +196,5 @@ def oracle_sql() -> dict[str, str]:
         "decode_features": C.SQL_DECODE_FEATURES,
         "frame_sample": C.SQL_FRAME_SAMPLE,
         "embedding_neardup_exact": C.SQL_EMB_NEARDUP_EXACT,
+        "sbom": C.SQL_SBOM,
     }

@@ -519,6 +519,44 @@ def cmd_search(
     return 0
 
 
+def cmd_sbom(spark: SparkSession, out_path: str) -> int:
+    """Generate SBOMs for every BIDS document in the dataset — the
+    reference's `--sbom` surface (bids/sbom.py: parse the stored BIDS
+    JSON, emit application+library packages and DESCRIBES/DEPENDS_ON
+    relationships).  Output is the neutral per-doc JSON of
+    operators/sbom.py (lib4sbom's SPDX/CycloneDX envelopes are out of
+    engine scope — SURVEY §8); written as JSON lines, one SBOM per
+    document, so the export streams at any corpus size instead of
+    building one driver-side array."""
+    from bids_spark.operators.sbom import sbom_json, sbom_packages
+
+    if not os.path.exists(_docs_path()):
+        print("No indexed dataset — run --index first", file=sys.stderr)
+        return 1
+    docs = spark.read.parquet(_docs_path())
+    sb = sbom_json(docs)
+    n = 0
+    with open(out_path, "w") as f:
+        # toLocalIterator: one partition in driver memory at a time
+        for row in sb.toLocalIterator():
+            f.write(row["sbom"] + "\n")
+            n += 1
+    if n == 0:
+        print("No BIDS documents in the dataset", file=sys.stderr)
+        return 2
+    counts = {
+        r["ptype"]: r["n"]
+        for r in sbom_packages(docs)
+        .groupBy("ptype").agg(F.count("*").alias("n")).collect()
+    }
+    print(
+        f"Wrote {n} SBOMs to {out_path} "
+        f"({counts.get('application', 0)} application, "
+        f"{counts.get('library', 0)} library packages)"
+    )
+    return 0
+
+
 def cmd_export(archive: str) -> int:
     d = dataset_dir()
     if not os.path.isdir(d):
@@ -603,6 +641,12 @@ def main(argv: list[str] | None = None) -> int:
              "for in-document match navigation, q to quit); --offset is "
              "ignored in this mode — the pager always starts at page 1",
     )
+    p.add_argument(
+        "--sbom", metavar="OUT_JSONL",
+        help="generate SBOMs for every BIDS document in the dataset "
+             "(reference bids/sbom.py); one neutral packages+"
+             "relationships JSON per line",
+    )
     p.add_argument("--export", metavar="ZIP")
     p.add_argument("--import", dest="import_", metavar="ZIP")
     p.add_argument("--verbose", action="store_true")
@@ -630,6 +674,9 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_initialise()
         if a.export:
             return cmd_export(a.export)
+        if a.sbom:
+            spark = _get_spark(a.verbose)
+            return cmd_sbom(spark, a.sbom)
         if a.import_:
             return cmd_import(a.import_, debug=a.debug)
         if a.index or a.index_parquet:

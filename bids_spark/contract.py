@@ -2069,3 +2069,87 @@ GROUP BY d.doc_id
 
 
 SQL_TOKEN_COUNT_BPE = bpe_count_sql()
+
+
+# ---------------------------------------------------------------------------
+# SBOM transform row (reference sbom.py:146-240 process_file as
+# Catalyst — operators/sbom.py).  The sf documents are not BIDS JSON,
+# so the row SYNTHESIZES a BIDS doc per row from (doc_id, source,
+# lang, text) with to_json — exercising the real parse(from_json) →
+# explode → project path end-to-end — while the DuckDB oracle computes
+# the expected packages⋈relationships directly from the same base
+# columns (same certification pattern as extract_invariant).
+# ---------------------------------------------------------------------------
+
+
+def q_sbom(spark, sf_dir):
+    from bids_spark.operators.sbom import sbom_packages, sbom_relationships
+
+    docs = load_documents(spark, sf_dir)
+    lib1 = F.concat(F.lit("lib"), F.col("source"), F.lit(".so"))
+    lib2 = F.concat(F.lit("lib"), F.col("lang"), F.lit(".so"))
+    bids_json = F.to_json(F.struct(
+        F.struct(
+            F.lit("BIDS").alias("docFormat"),
+            F.struct(
+                F.lit("ELF").alias("class"),
+                F.lit("x86-64").alias("architecture"),
+                F.lit(64).cast("long").alias("bits"),
+                F.lit("linux").alias("os"),
+                F.concat(F.lit("bin"), F.col("doc_id")).alias("filename"),
+                F.lit("2025-01-01T00:00:00Z").alias("filedate"),
+                F.col("lang").alias("version"),
+                F.array(F.struct(
+                    F.lit("SHA256").alias("algorithm"),
+                    F.sha2(F.col("text"), 256).alias("value"),
+                )).alias("checksum"),
+            ).alias("binary"),
+        ).alias("metadata"),
+        F.struct(
+            F.array(lib1, lib2).alias("dynamiclibrary"),
+            F.array(F.col("source"), F.col("lang")).alias("localsymbols"),
+        ).alias("components"),
+        F.create_map(
+            lib1, F.array(F.col("lang")),
+            lib2, F.array(F.col("source"), F.col("lang")),
+        ).alias("relationships"),
+    ))
+    synth = docs.select("doc_id", bids_json.alias("text"))
+    pk = sbom_packages(synth)
+    rl = sbom_relationships(synth).withColumnRenamed("doc_id", "rdoc")
+    return pk.join(
+        rl,
+        (pk["doc_id"] == rl["rdoc"]) & (pk["name"] == rl["target"]),
+    ).select(
+        "doc_id", "name", "ptype", "version", "release_date", "sha256",
+        "n_functions", "n_localsymbols",
+        F.col("source").alias("rel_source"), "rel_type",
+    )
+
+
+SQL_SBOM = """
+WITH app AS (
+  SELECT doc_id, 'bin' || doc_id AS name, 'application' AS ptype,
+         lang AS version, '2025-01-01T00:00:00Z' AS release_date,
+         sha256(text) AS sha256, CAST(0 AS BIGINT) AS n_functions,
+         CAST(2 AS BIGINT) AS n_localsymbols,
+         'Bids_Application' AS rel_source, 'DESCRIBES' AS rel_type
+  FROM documents
+),
+libs AS (
+  SELECT doc_id, 'lib' || source || '.so' AS name, 'library' AS ptype,
+         CAST(NULL AS VARCHAR) AS version,
+         CAST(NULL AS VARCHAR) AS release_date,
+         CAST(NULL AS VARCHAR) AS sha256,
+         CAST(1 AS BIGINT) AS n_functions,
+         CAST(0 AS BIGINT) AS n_localsymbols,
+         'bin' || doc_id AS rel_source, 'DEPENDS_ON' AS rel_type
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'lib' || lang || '.so', 'library',
+         NULL, NULL, NULL, CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+         'bin' || doc_id, 'DEPENDS_ON'
+  FROM documents
+)
+SELECT * FROM app UNION ALL SELECT * FROM libs
+"""
