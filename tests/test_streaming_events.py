@@ -6,6 +6,7 @@ from __future__ import annotations
 from datetime import datetime, timedelta
 
 import pytest
+from pyspark.sql import functions as F
 
 from bids_spark.operators.events import sessionize, windowed_counts
 from bids_spark.streaming import windows as sw
@@ -203,3 +204,112 @@ def test_stateful_sessionize_numbering_survives_timeout(spark, tmp_path):
         for r in spark.read.parquet(out).filter("user_id = 1").collect()
     )
     assert got == [(1, 1), (2, 1)], got
+
+
+# ---------------------------------------------------------------------------
+# hot-user skew fallback (two-phase salted sessionize)
+# ---------------------------------------------------------------------------
+
+
+def _as_rows(df):
+    return sorted(
+        (r["user_id"], r["session_no"], r["sess_start_us"],
+         r["sess_end_us"], r["n_events"])
+        for r in df.collect()
+    )
+
+
+def test_salted_sessionize_identical_to_plain(spark):
+    """Exactness of the two-phase plan: random events with one hot
+    user whose sessions straddle day boundaries (incl. a multi-day
+    session chained through midnight at exactly-gap and within-gap
+    deltas) — salted ≡ plain for several gaps."""
+    import random
+
+    from bids_spark.operators import events as ev_ops
+
+    rng = random.Random(7)
+    day = 86_400
+    rows = []
+    eid = 0
+    # hot user: bursts every few minutes across 5 days, some gaps
+    # exactly at the threshold (must NOT split: predicate is >)
+    t = 1_700_000_000
+    for _ in range(2000):
+        t += rng.choice([60, 120, 1800, 1801, 7200])
+        rows.append((eid, 1, t)); eid += 1
+    # a session crossing midnight with tiny deltas
+    mid = (t // day + 1) * day
+    for dt in (-120, -60, 30, 90):
+        rows.append((eid, 1, mid + dt)); eid += 1
+    # cold users
+    for u in range(2, 30):
+        t2 = 1_700_000_000 + u * 37
+        for _ in range(rng.randint(1, 20)):
+            t2 += rng.choice([60, 4000])
+            rows.append((eid, u, t2)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, sec bigint"
+    ).select(
+        "event_id", "user_id",
+        # session tz is UTC (session.get_spark) so LTZ→NTZ keeps the
+        # wall clock
+        F.timestamp_seconds("sec").cast("timestamp_ntz").alias("ts"),
+    )
+    for gap in (5, 30, 90):
+        plain = _as_rows(ev_ops.sessionize(ev, gap_minutes=gap,
+                                           salted=False))
+        salted = _as_rows(ev_ops.sessionize(ev, gap_minutes=gap,
+                                            salted=True))
+        assert salted == plain, gap
+
+
+def test_salted_plan_bounds_hot_partition(spark):
+    """One user owning 50% of events: the salted phase-1 partition key
+    is (user_id, day), so the hot user's rows split across days — the
+    max per-key group is bounded by one day of their history, not the
+    whole history.  Plan-asserted: the first window sort partitions by
+    (user_id, day)."""
+    from bids_spark.operators import events as ev_ops
+
+    n = 4000
+    rows = [(i, 1, 1_700_000_000 + i * 3600) for i in range(n)]  # 1/hour, ~167 days
+    rows += [(n + i, 2 + (i % 50), 1_700_000_000 + i * 60)
+             for i in range(n)]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, sec bigint"
+    ).select("event_id", "user_id",
+             F.timestamp_seconds("sec").cast("timestamp_ntz").alias("ts"))
+    df = ev_ops.sessionize(ev, gap_minutes=30, salted=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "day" in plan  # phase-1 window partitions by (user_id, day)
+    # the hot user's largest phase-1 group is one day = 24 events
+    grouped = (
+        ev.select("user_id",
+                  (ev_ops._epoch_us(F.col("ts")) / ev_ops._DAY_US)
+                  .cast("long").alias("day"))
+        .groupBy("user_id", "day").count()
+        .agg(F.max("count")).first()[0]
+    )
+    assert grouped <= 60 < n / 2
+
+
+def test_skew_probe_threshold(spark, monkeypatch):
+    from bids_spark.operators import events as ev_ops
+
+    skewed = spark.createDataFrame(
+        [(i, 1 if i < 500 else 2 + i % 10,
+          1_700_000_000 + i * 60) for i in range(1000)],
+        "event_id bigint, user_id bigint, sec bigint",
+    ).select("event_id", "user_id",
+             F.timestamp_seconds("sec").cast("timestamp_ntz").alias("ts"))
+    # below SKEW_MIN_EVENTS: probe declines even at 50% share
+    assert not ev_ops._skew_salting_needed(skewed)
+    monkeypatch.setattr(ev_ops, "SKEW_MIN_EVENTS", 100)
+    assert ev_ops._skew_salting_needed(skewed)
+    uniform = spark.createDataFrame(
+        [(i, i % 50, 1_700_000_000 + i * 60) for i in range(1000)],
+        "event_id bigint, user_id bigint, sec bigint",
+    ).select("event_id", "user_id",
+             F.timestamp_seconds("sec").cast("timestamp_ntz").alias("ts"))
+    assert not ev_ops._skew_salting_needed(uniform)
