@@ -1212,6 +1212,13 @@ class BlockedSearchEngine(BooleanEvaluator):
     # one shuffle per phrase.  Off → each phrase evaluates as its own
     # qid-tagged subplan (the generic-path twin).  See _phrases_shared.
     BATCH_PHRASE_SHARED = True
+    # Batched shared decode for the flat must/should/must_not class
+    # (AND / NOT / prune-off shapes): one pruned scan over the OR of
+    # the per-query restriction predicates + one groupBy(qid, doc_id)
+    # evaluating _topk_bool's fused aggregation per qid.  Off → one
+    # _topk_bool subplan per query (the executable twin).  See
+    # _bools_shared.
+    BATCH_BOOL_SHARED = True
 
     def _term_spans(self, term: str) -> tuple[list[int], list[int]]:
         """Merged (sorted, disjoint, integer-adjacent-collapsed) doc
@@ -1424,6 +1431,147 @@ class BlockedSearchEngine(BooleanEvaluator):
         return self.spark.createDataFrame(
             [], "doc_id bigint, score double"
         )
+
+    def _bools_shared(
+        self,
+        bool_class: dict,
+        limit: int,
+    ) -> tuple[DataFrame | None, dict]:
+        """Shared decode for a batch of flat must/should/must_not
+        queries — the bool-shape twin of the pure-OR batch branch:
+        ONE pruned block scan + decode + groupBy(qid, doc_id) instead
+        of a subplan per query.
+
+        Per query the same machinery as _topk_bool applies: its
+        _bool_restriction (intersection bitmap + rarest-term interval)
+        is computed per qid, and the shared scan keeps a block iff ANY
+        query's restricted candidate set keeps it (per-query predicates
+        OR-ed over one scan).  Exactness per qid: a restriction is
+        sound — every posting of every doc matching q survives q's own
+        predicate, hence the union — and extra decoded rows can only
+        belong to docs that fail q's matched-must count (or land below
+        its top-k), never change a matching doc's sum: each posting
+        lives in exactly one block so the one-pass union decodes it
+        once.  Fan-out to queries is a broadcast (qid, term,
+        is_pos/is_must/is_neg[, qb]) dim; the aggregation evaluates
+        _topk_bool's fused-NOT shape per (qid, doc_id) — positive-row
+        sum, matched-must count, any-neg flag — with the per-qid
+        must-count as a CASE literal.
+
+        Returns (shared branch or None, leftover queries to run as
+        per-query subplans): a query falls out when its restriction
+        only materialized as the broadcast-join twin (not a Column
+        predicate) or when NOT_FUSED is off and it has must_not terms
+        (the toggle keeps the two-scan twin as the executable spec).
+        """
+        all_batch_terms = sorted(
+            {
+                t
+                for (m, s, n, _) in bool_class.values()
+                for t in (m + s + n)
+            }
+        )
+        meta = self._term_meta(all_batch_terms)
+        specs: dict[str, dict] = {}
+        leftover: dict = {}
+        for qid, (must, should, must_not, bmap) in bool_class.items():
+            if must_not and not self.NOT_FUSED:
+                leftover[qid] = (must, should, must_not, bmap)
+                continue
+            must_set = sorted(set(must))
+            bitmap_pred = rarest = None
+            if must:
+                all_terms = sorted(set(must) | set(should) | set(must_not))
+                empty, bitmap_pred, rarest = self._bool_restriction(
+                    must_set,
+                    all_terms,
+                    meta={t: meta[t] for t in all_terms if t in meta},
+                )
+                if empty:
+                    continue  # provably no rows for this qid
+                if rarest is not None and not isinstance(rarest, Column):
+                    leftover[qid] = (must, should, must_not, bmap)
+                    continue
+            pos = list(dict.fromkeys(must + should))
+            neg = sorted(set(must_not))
+            scan = pos + [t for t in neg if t not in pos]
+            present = [t for t in scan if t in meta]
+            if not present:
+                continue  # none of the terms exist — no rows
+            specs[qid] = {
+                "pos": set(pos),
+                "must": set(must_set),
+                "neg": set(neg),
+                "scan": present,
+                "bmap": bmap or {},
+                "bitmap": bitmap_pred,
+                "rarest": rarest,
+            }
+        if not specs:
+            return None, leftover
+
+        # one scan over the union of every query's scan terms, filtered
+        # by the OR of the per-query restricted-candidate predicates
+        union_terms = sorted({t for sp in specs.values() for t in sp["scan"]})
+        preds = []
+        for sp in specs.values():
+            p = F.col("term").isin(sp["scan"])
+            if sp["bitmap"] is not None:
+                p = p & sp["bitmap"]
+            if sp["rarest"] is not None:
+                p = p & sp["rarest"]
+            preds.append(p)
+        shared_pred = preds[0]
+        for p in preds[1:]:
+            shared_pred = shared_pred | p
+        blocks = self._term_blocks(union_terms).filter(shared_pred)
+
+        boosted = any(
+            sp["bmap"].get(t, 1.0) != 1.0
+            for sp in specs.values()
+            for t in sp["scan"]
+        )
+        rows = []
+        need_nm: dict[str, int] = {}
+        for qid, sp in specs.items():
+            need_nm[qid] = len(sp["must"] & set(sp["scan"]))
+            for t in sp["scan"]:
+                r = [
+                    qid, t,
+                    t in sp["pos"], t in sp["must"], t in sp["neg"],
+                ]
+                if boosted:
+                    r.append(float(sp["bmap"].get(t, 1.0)))
+                rows.append(tuple(r))
+        qmap = F.broadcast(
+            self.spark.createDataFrame(
+                rows,
+                "qid string, term string, is_pos boolean, "
+                "is_must boolean, is_neg boolean"
+                + (", _qb double" if boosted else ""),
+            )
+        )
+        scored = self._decode(blocks).join(qmap, "term")
+        pos_score = F.when(F.col("is_pos"), F.col("score"))
+        if boosted:
+            pos_score = F.when(
+                F.col("is_pos"), F.col("score") * F.col("_qb")
+            )
+        agg = scored.groupBy("qid", "doc_id").agg(
+            F.sum(pos_score).alias("score"),
+            F.count_distinct(
+                F.when(F.col("is_must"), F.col("term"))
+            ).alias("_nm"),
+            F.max(F.when(F.col("is_neg"), F.lit(1))).alias("_neg"),
+        )
+        out = (
+            agg.filter(
+                F.col("_nm") == lookup_expr(F.col("qid"), need_nm)
+            )
+            .filter(F.col("_neg").isNull())
+            .select("qid", "doc_id", "score")
+        )
+        return out, leftover
 
     # -- public ---------------------------------------------------------------
 
@@ -2055,13 +2203,22 @@ class BlockedSearchEngine(BooleanEvaluator):
                     )
                 branches.append(scored)
 
-        for qid, (must, should, must_not, bmap) in bool_class.items():
-            if not must and not should:
-                continue
-            m = self._topk_bool(must, should, must_not, limit, boosts=bmap)
-            branches.append(
-                m.select(F.lit(qid).alias("qid"), "doc_id", "score")
-            )
+        if bool_class:
+            if self.BATCH_BOOL_SHARED:
+                shared_b, bool_left = self._bools_shared(bool_class, limit)
+            else:
+                shared_b, bool_left = None, bool_class
+            if shared_b is not None:
+                branches.append(shared_b)
+            for qid, (must, should, must_not, bmap) in bool_left.items():
+                if not must and not should:
+                    continue
+                m = self._topk_bool(
+                    must, should, must_not, limit, boosts=bmap
+                )
+                branches.append(
+                    m.select(F.lit(qid).alias("qid"), "doc_id", "score")
+                )
         if phrase_class:
             shared = self._phrases_shared(phrase_class)
             if shared is not None:

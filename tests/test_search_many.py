@@ -189,3 +189,78 @@ def test_batch_is_one_action_fewer_jobs(eng):
     # constant ~6: scan→groupBy→θ-join→window→collect), NOT O(N
     # queries) — measured 6 vs 18 for these six queries
     assert batch_jobs <= 8, batch_jobs
+
+
+# ---------------------------------------------------------------------------
+# shared decode for the flat bool class (_bools_shared)
+# ---------------------------------------------------------------------------
+
+BOOL_QUERIES = {
+    "and2": "merge AND join",
+    "and3": "data AND merge AND join",
+    "not1": "merge -join",
+    "not2": "data merge -sort",
+    "mixed": "+data merge -window",
+    "boosted_and": "merge^2 AND join",
+    "boosted_not": "data^3 -join",
+    "neg_self": "merge -merge",          # Lucene: matches nothing
+    "absent_must": "merge AND zzznotaterm",
+}
+
+
+def test_bools_shared_parity(eng):
+    got = _batch(eng, BOOL_QUERIES, 10)
+    for qid, q in BOOL_QUERIES.items():
+        assert got.get(qid, []) == _seq(eng, q, 10), (qid, q)
+
+
+def test_bools_shared_ab_toggle(eng):
+    """BATCH_BOOL_SHARED off = one _topk_bool subplan per query (the
+    executable twin): identical results either way."""
+    try:
+        eng.BATCH_BOOL_SHARED = False
+        off = _batch(eng, BOOL_QUERIES, 10)
+    finally:
+        del eng.BATCH_BOOL_SHARED  # back to the class default (True)
+    assert _batch(eng, BOOL_QUERIES, 10) == off
+
+
+def test_bools_shared_parity_segmented_deleted(spark, drifted,
+                                               tmp_path_factory):
+    """Tombstoned segmented engine: the shared bool branch rides the
+    same _decode seam (anti-joined tombstones) — per-query parity."""
+    si = _two_segments(
+        drifted, str(tmp_path_factory.mktemp("segbool") / "root")
+    )
+    si.delete_docs(spark, [d for d in range(0, 400, 7)])
+    e = si.engine(spark)
+    got = _batch(e, BOOL_QUERIES, 10)
+    for qid, q in BOOL_QUERIES.items():
+        assert got.get(qid, []) == _seq(e, q, 10), (qid, q)
+
+
+def test_mixed_batch_job_count(eng):
+    """A mixed 9-shape batch (OR + AND + NOT + phrase) stays one
+    action: job count bounded by the plan's shuffle depth across the
+    FOUR shared branches (OR-class, bool-class, phrase-class), not by
+    the number of queries."""
+    sc = eng.spark.sparkContext
+    qs = {
+        "or2": "merge join", "or5": "data merge join sort window",
+        "single": "data",
+        "and2": "merge AND join", "not1": "merge -join",
+        "mixed": "+data merge -window",
+        "ph1": '"merge join"', "ph2": '"data merge"',
+        "topic": "data t1x",
+    }
+    for q in qs.values():
+        eng.search(q, 10).collect()      # warm memos
+    eng.search_many(qs, 10).collect()
+    sc.setJobGroup("mixedbatch", "mixed batched")
+    eng.search_many(qs, 10).collect()
+    n = len(sc.statusTracker().getJobIdsForGroup("mixedbatch"))
+    sc.setJobGroup(None, None)
+    # pre-sharing this batch paid a decode+agg subplan per bool query
+    # (~3 extra shuffle waves each); shared: OR + bool + phrase
+    # branches ≈ 3 decodes feeding one window — measured 8
+    assert n <= 12, n
