@@ -786,6 +786,11 @@ def positive_terms(node) -> list[str]:
             out.append(n.term)
         elif isinstance(n, Phrase):
             out.extend(n.terms)
+        elif isinstance(n, PhrasePrefix):
+            # the fixed members are exact content matches; the prefix
+            # slot's expansion is engine-side, unknowable here (same
+            # reason Fuzzy contributes nothing)
+            out.extend(n.terms[:-1])
         elif isinstance(n, Bool):
             for c in n.must + n.should:
                 walk(c)

@@ -238,3 +238,13 @@ def test_phrase_prefix_on_f64_index(spark, corpus, tmp_path):
              n_buckets=4, with_positions=True, score_mode="f64")
     eng = BlockedSearchEngine(spark, bi)
     assert _rows(eng.search('"the data"*', 10)) == [(1, 1, 1.0)]
+
+
+def test_positive_terms_includes_phrase_prefix_fixed_members():
+    from bids_spark.plans.parser import positive_terms
+
+    assert positive_terms(parse_query('"merge jo"* data')) == [
+        "merge", "data"
+    ]
+    # fuzzy expansion is engine-side — contributes nothing at parse time
+    assert positive_terms(parse_query("merg~1 data")) == ["data"]
