@@ -264,6 +264,25 @@ def lookup_expr(
     return expr if default is None else expr.otherwise(F.lit(default))
 
 
+def _ordered_sum(entry: Column) -> Column:
+    """Order-canonical float sum for a per-doc score aggregation:
+    collect (term, score) structs, array_sort (term is unique per doc
+    — one posting row per (term, doc)), fold left.  F.sum's value is
+    arrival-order-dependent (partial-agg merge order follows the
+    physical plan), and two PLANS for the same query can differ by an
+    ULP — measured at 3M docs: the batched fan-out join reordered a
+    3-term AND's partials, and among a ~600-way replica tie a 1-ULP
+    drift flipped which docs made top-k vs the sequential plan.  A
+    canonical fold is bit-identical across plans, partitionings, and
+    runs.  `entry` may be a WHEN(...)-guarded struct: NULLs are
+    skipped by collect_list (the F.sum(NULL-skip) twin semantics)."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(entry)),
+        F.lit(0.0),
+        lambda acc, x: acc + x["score"],
+    )
+
+
 class BlockedSearchEngine(BooleanEvaluator):
     """Query engine over a built BlockedIndex.
 
@@ -1379,13 +1398,11 @@ class BlockedSearchEngine(BooleanEvaluator):
         # instead of a second decode + doc_id anti-join (one fewer
         # scan and one fewer shuffle at any scale).  Exactness: the
         # score sums only positive rows (the WHEN yields NULL for neg
-        # rows, F.sum skips NULLs), and a doc is dropped iff it has
-        # ANY neg posting — exactly the anti-join's semantics; the
+        # rows, which collect_list skips), and a doc is dropped iff it
+        # has ANY neg posting — exactly the anti-join's semantics; the
         # block restriction was already soundly applied to the neg
         # scan (a candidate doc's neg block overlaps the doc itself,
-        # hence the must intervals/chunks at it).  FP sum order may
-        # differ from the two-scan plan (more rows interleaved) —
-        # within Spark's existing partial-agg nondeterminism envelope.
+        # hence the must intervals/chunks at it).
         fuse_neg = bool(neg_set) and self.NOT_FUSED
         scan_terms = (
             pos_terms + [t for t in neg_set if t not in pos_terms]
@@ -1397,13 +1414,11 @@ class BlockedSearchEngine(BooleanEvaluator):
             # per-posting boost multiply; the term column survives for
             # the matched-must count below
             scored = self._apply_boosts(scored, boosts)
-        score_in = (
-            F.when(F.col("term").isin(pos_terms), F.col("score"))
-            if fuse_neg
-            else F.col("score")
-        )
+        entry = F.struct(F.col("term"), F.col("score"))
+        if fuse_neg:
+            entry = F.when(F.col("term").isin(pos_terms), entry)
         aggs = [
-            F.sum(score_in).alias("score"),
+            _ordered_sum(entry).alias("score"),
             F.count_distinct(
                 F.when(F.col("term").isin(must_set), F.col("term"))
             ).alias("_nm"),
@@ -1552,13 +1567,14 @@ class BlockedSearchEngine(BooleanEvaluator):
             )
         )
         scored = self._decode(blocks).join(qmap, "term")
-        pos_score = F.when(F.col("is_pos"), F.col("score"))
-        if boosted:
-            pos_score = F.when(
-                F.col("is_pos"), F.col("score") * F.col("_qb")
-            )
+        sc = F.col("score") * F.col("_qb") if boosted else F.col("score")
+        # order-canonical sum (module helper): bit-identical to the
+        # per-query _topk_bool plan on massive ties — see _ordered_sum
+        pos_score = F.when(
+            F.col("is_pos"), F.struct(F.col("term"), sc.alias("score"))
+        )
         agg = scored.groupBy("qid", "doc_id").agg(
-            F.sum(pos_score).alias("score"),
+            _ordered_sum(pos_score).alias("score"),
             F.count_distinct(
                 F.when(F.col("is_must"), F.col("term"))
             ).alias("_nm"),

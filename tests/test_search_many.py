@@ -264,3 +264,27 @@ def test_mixed_batch_job_count(eng):
     # (~3 extra shuffle waves each); shared: OR + bool + phrase
     # branches ≈ 3 decodes feeding one window — measured 8
     assert n <= 12, n
+
+
+def test_bools_shared_tie_exactness_bit_identical(spark, tmp_path):
+    """The 3M-found ULP hazard, pinned at unit scale: on a corpus of
+    identical replicas every 3-term AND match ties exactly, so top-k
+    membership is decided by doc_id — any FP-sum-order drift between
+    the shared-batch plan and the sequential plan flips the selected
+    set.  The order-canonical fold (_ordered_sum) makes both plans
+    bit-identical: compare RAW scores, no rounding, and the exact
+    doc_id sets."""
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("data merge join filler words here").alias("text"),
+    )
+    bi = BlockedIndex(str(tmp_path / "tieidx"))
+    bi.build(docs, fingerprint="ties", n_buckets=4)
+    e = BlockedSearchEngine(spark, bi, cache=True)
+    q = "data AND merge AND join"
+    seq = [(r["rank"], r["doc_id"], r["score"])
+           for r in e.search(q, 10).collect()]
+    got = [(r["rank"], r["doc_id"], r["score"])
+           for r in e.search_many({"a": q}, 10).collect()]
+    assert got == seq                      # raw floats, no rounding
+    assert [d for _, d, _ in seq] == list(range(10))  # lowest doc_ids win
