@@ -1238,6 +1238,11 @@ class BlockedSearchEngine(BooleanEvaluator):
     # _topk_bool subplan per query (the executable twin).  See
     # _bools_shared.
     BATCH_BOOL_SHARED = True
+    # Shared-vs-subplans crossover: share only while the df-weighted
+    # term duplication across the batch (Σ_q Σ_{t∈q} df / df of the
+    # union) stays at or below this — beyond it the fan-out rows cost
+    # more than the saved scan (3M measurement in _bools_shared).
+    BATCH_BOOL_FANOUT_MAX = 2.5
 
     def _term_spans(self, term: str) -> tuple[list[int], list[int]]:
         """Merged (sorted, disjoint, integer-adjacent-collapsed) doc
@@ -1525,9 +1530,28 @@ class BlockedSearchEngine(BooleanEvaluator):
         if not specs:
             return None, leftover
 
-        # one scan over the union of every query's scan terms, filtered
-        # by the OR of the per-query restricted-candidate predicates
+        # Fan-out guard (measured at 3M, BENCH/bool_batch_ab_r5.log):
+        # the shared aggregation's input is decoded rows × the qids
+        # sharing each term, so a batch whose queries reuse the same
+        # heavy terms pays more in fan-out shuffle volume than the one
+        # scan saves — a 9-bool batch with merge/data in 4-5 queries
+        # ran 1.48× SLOWER shared (31.9 vs 21.5 s) while a mixed batch
+        # at duplication 2.0 ran 1.52× FASTER (17.9 vs 27.3 s).  The
+        # df-weighted duplication factor prices it from the metadata
+        # already in hand (zero extra jobs); above the threshold every
+        # query runs as its own subplan in the same action (the twin).
         union_terms = sorted({t for sp in specs.values() for t in sp["scan"]})
+        union_df = sum(float(meta[t]["df"]) for t in union_terms)
+        total_df = sum(
+            float(meta[t]["df"])
+            for sp in specs.values()
+            for t in sp["scan"]
+        )
+        if union_df > 0 and total_df / union_df > self.BATCH_BOOL_FANOUT_MAX:
+            leftover.update(
+                {qid: bool_class[qid] for qid in specs}
+            )
+            return None, leftover
         preds = []
         for sp in specs.values():
             p = F.col("term").isin(sp["scan"])
