@@ -99,6 +99,23 @@ def main() -> None:
         batch_p50 = batch_lats[len(batch_lats) // 2]
         seq_sum = sum(timings[n] for n in BLOCKED_QUERIES)
 
+        # round-5 grammar surfaces (fuzzy / prefix / phrase-prefix) —
+        # kept OUT of `timings` like `batch` so `total` stays
+        # comparable round-over-round; reported as their own section
+        ext: dict[str, float] = {}
+        for name, q in (
+            ("q_fuzzy", "merge~1"),
+            ("q_prefix", "mer*"),
+            ("q_phrase_prefix", '"merge jo"*'),
+        ):
+            lats = []
+            for _ in range(QUERY_ITERS):
+                t0 = time.time()
+                beng.search(q, 10).collect()
+                lats.append(time.time() - t0)
+            lats.sort()
+            ext[name] = round(lats[len(lats) // 2], 3)
+
         total = sum(timings.values())
         print(
             json.dumps(
@@ -113,6 +130,7 @@ def main() -> None:
                         "p99": round(p99, 3),
                         "iters_per_query": QUERY_ITERS,
                     },
+                    "extended": ext,
                     "batch": {
                         "n_queries": len(BLOCKED_QUERIES),
                         "wall_p50": round(batch_p50, 3),
