@@ -707,6 +707,9 @@ class SegmentedSearchEngine(BlockedSearchEngine):
         # own global idf and the fixed segment set
         self._cm_memo = {} if cache else None
         self._ranges_memo = {} if cache else None
+        # fuzzy neighborhoods: the committed segment set is fixed for
+        # this engine, so the union vocabulary is immutable too
+        self._fuzzy_memo = {} if cache else None
         self._domain_cache: tuple[int, int] | None = None
         self._range_ctx: tuple[int | None, int | None] | None = None
         # per-(term, segment) dictionary idf, stashed by _term_meta —

@@ -317,6 +317,14 @@ class BlockedSearchEngine(BooleanEvaluator):
         self._ranges_memo: dict[str, tuple[list[int], list[int]]] | None = (
             {} if cache else None
         )
+        # fuzzy-expansion memo (hot-serving only): a built index's
+        # vocabulary is immutable, so a (term, dist) neighborhood
+        # never changes — memoizing removes the per-query dictionary
+        # scan for repeated fuzzy terms (consumed by the shared
+        # BooleanEvaluator._expand_fuzzy via getattr)
+        self._fuzzy_memo: dict[tuple[str, int], list[str]] | None = (
+            {} if cache else None
+        )
         self._domain_cache: tuple[int, int] | None = None
         # active must-range restriction for the generic path (set by
         # _eval_bool while evaluating a Bool whose musts include a

@@ -407,13 +407,19 @@ class BooleanEvaluator:
         sublinear in vocabulary where this is linear, but the scan is
         embarrassingly parallel and happens once per query.  The
         collect is the expanded term set: the ≤2-edit neighborhood of
-        one term, metadata-sized by construction."""
+        one term, metadata-sized by construction.  Hot-serving engines
+        expose a `_fuzzy_memo` dict (immutable vocabulary ⇒ immutable
+        neighborhoods) so repeat fuzzy terms skip the scan."""
         from bids_spark.functions.fields import (
             URL_NS,
             is_url_term,
             url_term_col,
         )
 
+        memo = getattr(self, "_fuzzy_memo", None)
+        key = (fz.term, int(fz.dist))
+        if memo is not None and key in memo:
+            return memo[key]
         voc = self._vocabulary()
         if is_url_term(fz.term):
             q = fz.term[len(URL_NS):]
@@ -432,7 +438,10 @@ class BooleanEvaluator:
             & (F.length("bare") <= F.lit(len(q) + d))
             & (F.levenshtein(F.col("bare"), F.lit(q)) <= F.lit(d))
         )
-        return sorted({r["term"] for r in cand.select("term").collect()})
+        out = sorted({r["term"] for r in cand.select("term").collect()})
+        if memo is not None:
+            memo[key] = out
+        return out
 
     def _eval_fuzzy(self, fz: Fuzzy) -> DataFrame:
         """Fuzzy term (tantivy FuzzyTermQuery): constant scorer over

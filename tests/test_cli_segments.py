@@ -63,6 +63,15 @@ def test_cli_append_delete_compact(tmp_path, spark):
     assert r.returncode == 0 and len(_hits(r.stdout)) == 5
     baseline = r.stdout
 
+    # round-5 grammar through the segmented CLI surface: fuzzy hits
+    # the planted doc (zebrawort~1 → zebraword), prefix hits it too,
+    # and a no-expansion fuzzy exits 2 like any no-hit query
+    r = _cli(env, "--search", "zebrawort~1")
+    assert r.returncode == 0 and _hits(r.stdout) == [100001], r.stdout
+    r = _cli(env, "--search", "zebra*")
+    assert r.returncode == 0 and _hits(r.stdout) == [100001], r.stdout
+    assert _cli(env, "--search", "qqqqq~1").returncode == 2
+
     # delete the zebraword doc: stops matching; other results unchanged
     assert _cli(env, "--delete-doc", "100001").returncode == 0
     assert _cli(env, "--search", "zebraword").returncode == 2

@@ -248,3 +248,23 @@ def test_positive_terms_includes_phrase_prefix_fixed_members():
     ]
     # fuzzy expansion is engine-side — contributes nothing at parse time
     assert positive_terms(parse_query("merg~1 data")) == ["data"]
+
+
+def test_fuzzy_memo_hot_engine(blocked):
+    """cache=True engines memoize (term, dist) neighborhoods — the
+    second evaluation reads the memo, no dictionary scan."""
+    from bids_spark.plans.parser import Fuzzy
+
+    assert blocked._fuzzy_memo is not None
+    blocked._fuzzy_memo.clear()
+    first = blocked._expand_fuzzy(Fuzzy("merge", 1))
+    assert ("merge", 1) in blocked._fuzzy_memo
+    # poison the vocabulary seam: a memo hit must not touch it
+    orig = blocked._vocabulary
+    blocked._vocabulary = lambda: (_ for _ in ()).throw(
+        AssertionError("memo miss — vocabulary scanned twice")
+    )
+    try:
+        assert blocked._expand_fuzzy(Fuzzy("merge", 1)) == first
+    finally:
+        blocked._vocabulary = orig
